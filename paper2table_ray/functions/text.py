@@ -1,0 +1,326 @@
+"""Scalar text/normalization functions (behavioral parity with the reference).
+
+Each function documents the reference location whose observable behavior it
+matches (see SURVEY.md §2.2):
+
+- ``normalize_str``          — /root/reference/src/utils/str.py:12-17
+- ``normalize_column_name``  — /root/reference/src/utils/column_names.py:16-30
+- ``normalize_column_value`` — /root/reference/src/utils/column_values.py:7-11
+- ``coerce_str``             — /root/reference/src/utils/coerce.py:5-26
+- ``normalize_punctuation``  — /root/reference/src/tablemerge/fragment_transformer.py:145-182
+- ``ascii_fold``             — substitute for the ``unidecode`` dependency used
+                               at /root/reference/src/tablemerge/tablesfile_merger.py:37-46
+                               (package unavailable here; NFKD-based fold)
+- ``tokenize_schema``        — /root/reference/src/utils/tokenize_schema.py:1-3
+- ``parse_page_range``       — /root/reference/src/paper2table/page_range.py:5-14
+
+These are pure scalar functions; batch stages call the ``*_array`` helpers
+which loop over an Arrow array's python view with compiled regexes (the
+unicodedata calls force per-string python, but an ASCII fast path skips most
+of the work for typical corpora).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+import unicodedata
+
+import pyarrow as pa
+
+# --- normalize_str ---------------------------------------------------------
+
+_NONPRINTABLE_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f�]")
+_CID_RE = re.compile(r"\(cid:(\d+)\)")
+_DASH_RE = re.compile(r"[‐‑‒–—―−]")
+_WS_RE = re.compile(r"\s+")
+
+_ASCII_SAFE_RE = re.compile(r"^[\x20-\x7e]*$")
+_ASCII_SIMPLE_RE = re.compile(r"^[0-9a-z_][0-9a-z_ ]*$")
+
+
+def _replace_cid(match: re.Match) -> str:
+    n = int(match.group(1))
+    return chr(n) if 160 <= n <= 255 else ""
+
+
+def normalize_str(value: str) -> str:
+    """NFC-normalize, strip non-printables/U+FFFD, decode ``(cid:N)``
+    escapes (latin-1 range only), unify the 7 dash variants to ``-`` and
+    collapse whitespace."""
+    value = unicodedata.normalize("NFC", value)
+    value = _NONPRINTABLE_RE.sub("", value)
+    value = _CID_RE.sub(_replace_cid, value)
+    value = _DASH_RE.sub("-", value)
+    return _WS_RE.sub(" ", value.strip())
+
+
+def _normalize_str_ascii_fast(value: str) -> str:
+    # ASCII printable input: NFC / nonprintable / dash steps are no-ops.
+    value = _CID_RE.sub(_replace_cid, value)
+    return _WS_RE.sub(" ", value.strip())
+
+
+# --- normalize_column_name -------------------------------------------------
+
+_VALID_NAME_CHARS = frozenset(string.ascii_lowercase + string.digits + "_")
+
+
+def normalize_column_name(name: str | None) -> str | None:
+    """normalize_str → NFKD → ASCII-fold → lowercase → snake_case,
+    collapse ``__``, strip leading/trailing ``_``."""
+    if name is None:
+        return None
+    name = (
+        unicodedata.normalize("NFKD", normalize_str(name))
+        .encode("ascii", "ignore")
+        .decode("ascii")
+    )
+    name = name.lower()
+    name = "".join(ch if ch in _VALID_NAME_CHARS else "_" for ch in name)
+    while "__" in name:
+        name = name.replace("__", "_")
+    return name.strip("_")
+
+
+# --- normalize_column_value ------------------------------------------------
+
+NO_DATA_EXPRESSIONS = frozenset({"no data", "none", "not identified"})
+
+
+def normalize_column_value(value: str) -> str:
+    """normalize_str + lowercase; maps no-data phrases to ``""``."""
+    normalized = normalize_str(value).lower()
+    if normalized in NO_DATA_EXPRESSIONS:
+        return ""
+    return normalized
+
+
+# --- coercion --------------------------------------------------------------
+
+_BOOL_TRUE = frozenset({"true", "1", "yes", "on"})
+_BOOL_FALSE = frozenset({"false", "0", "no", "off"})
+
+COLUMN_TYPES: dict[str, type] = {
+    "str": str,
+    "int": int,
+    "float": float,
+    "bool": bool,
+    # the reference's scientific_name type shells out to the gnparser binary
+    # (src/utils/gnparser.py:14-36); see scientific.py for our deterministic
+    # in-process canonicalizer behind the same "coerce to canonical string"
+    # contract.
+    "scientific_name": str,
+}
+
+
+def coerce_str(value: str, target_type: type) -> str:
+    """Parse ``value`` as ``target_type``, return canonical string form;
+    unchanged on failure or for str. bool uses word sets, int goes via
+    float (``"3.0"`` → ``"3"``)."""
+    if target_type is str:
+        return value
+    try:
+        if target_type is bool:
+            lowered = value.lower()
+            if lowered in _BOOL_TRUE:
+                return "True"
+            if lowered in _BOOL_FALSE:
+                return "False"
+            return value
+        if target_type is int:
+            return str(int(float(value)))
+        return str(target_type(value))
+    except (ValueError, TypeError):
+        return value
+
+
+# --- punctuation normalization (NormalizePunctuationTransformer) ----------
+
+_GUILLEMETS_RE = re.compile(r"[«»‹›]")
+_TYPO_DQUOTES_RE = re.compile(r"[“”]")
+_TYPO_SQUOTES_RE = re.compile(r"[‘’´`ʹʻʼʽ′‵]")
+_VOWEL_ACUTE_RE = re.compile(r"([aeiouAEIOU])´")
+_ELLIPSIS_RE = re.compile("…")
+_TRAILING_DOT_RE = re.compile(r"^(.*\S{5,})\.$")
+
+
+def _combine_vowel_acute(match: re.Match) -> str:
+    combined = unicodedata.normalize("NFC", match.group(1) + "́")
+    if len(combined) == 1:
+        return combined
+    return match.group(0)
+
+
+def normalize_punctuation(text: str) -> str:
+    """Dash variants → ``-``; strip guillemets; typographic quotes → ``'``;
+    combine vowel+acute; drop one trailing sentence dot after a ≥5-char
+    word; ellipsis char → ``...``."""
+    text = _DASH_RE.sub("-", text)
+    text = _GUILLEMETS_RE.sub("", text)
+    text = _TYPO_DQUOTES_RE.sub('"', text)
+    text = text.replace('"', "'")
+    text = _VOWEL_ACUTE_RE.sub(_combine_vowel_acute, text)
+    text = _TYPO_SQUOTES_RE.sub("'", text)
+    match = _TRAILING_DOT_RE.match(text)
+    if match:
+        text = match.group(1)
+    text = _ELLIPSIS_RE.sub("...", text)
+    return text
+
+
+# --- ASCII transliteration (unidecode substitute) --------------------------
+
+# Minimal supplement for letters NFKD alone can't fold.
+_TRANSLIT = str.maketrans(
+    {
+        "ß": "ss",  # ß
+        "æ": "ae",
+        "Æ": "AE",
+        "œ": "oe",
+        "Œ": "OE",
+        "ø": "o",
+        "Ø": "O",
+        "đ": "d",
+        "Đ": "D",
+        "ł": "l",
+        "Ł": "L",
+        "þ": "th",
+        "Þ": "Th",
+        "ð": "d",
+        "Ð": "D",
+    }
+)
+
+
+def ascii_fold(value: str) -> str:
+    """Best-effort ASCII transliteration (NFKD + combining-mark strip +
+    a small special-letter map). Used where the reference used
+    ``unidecode`` for accent-insensitive row comparison."""
+    if _ASCII_SAFE_RE.match(value):
+        return value
+    value = value.translate(_TRANSLIT)
+    decomposed = unicodedata.normalize("NFKD", value)
+    return decomposed.encode("ascii", "ignore").decode("ascii")
+
+
+# --- config parsing --------------------------------------------------------
+
+
+def tokenize_schema(text: str) -> list[str]:
+    """``#`` comments, comma/whitespace separators → token list."""
+    stripped = " ".join(line.partition("#")[0] for line in text.splitlines())
+    return [part.strip() for part in stripped.replace(",", " ").split() if part.strip()]
+
+
+def parse_hints(text: str) -> list[str]:
+    """Column-name hints: tokenized then normalized
+    (/root/reference/src/paper2table/hints.py:5-6)."""
+    return [normalize_column_name(tok) for tok in tokenize_schema(text)]
+
+
+class ColumnSchema:
+    """User-declared typed schema parsed from ``"col:type"`` tokens
+    (/root/reference/src/utils/column_schema.py:22-71). Column names are
+    normalized; unknown types raise ValueError."""
+
+    def __init__(self, columns: dict[str, type]):
+        self.columns = columns
+
+    @classmethod
+    def parse(cls, text: str) -> "ColumnSchema":
+        columns: dict[str, type] = {}
+        for token in tokenize_schema(text):
+            name, sep, type_name = token.partition(":")
+            type_name = type_name if sep else "str"
+            if type_name not in COLUMN_TYPES:
+                raise ValueError(f"Unknown column type: {type_name!r} in {token!r}")
+            columns[normalize_column_name(name)] = COLUMN_TYPES[type_name]
+        return cls(columns)
+
+    def column_names(self) -> list[str]:
+        return list(self.columns)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    def __len__(self) -> int:
+        return len(self.columns)
+
+    def type_of(self, name: str) -> type:
+        return self.columns.get(name, str)
+
+
+def parse_page_range(raw_path: str) -> tuple[str, tuple[int, int] | None]:
+    """``PATH[:FROM:TO]`` → (path, (from, to)) 1-indexed inclusive."""
+    parts = raw_path.rsplit(":", 2)
+    if len(parts) == 3:
+        try:
+            return parts[0], (int(parts[1]), int(parts[2]))
+        except ValueError:
+            pass
+    return raw_path, None
+
+
+# --- table-structure regexes shared with transformers -----------------------
+
+TITLE_ROW_RE = re.compile(r"^((figure|table|figura|tabla)\s+|fig\.\s*)\d+", re.IGNORECASE)
+LEADING_NUMBER_RE = re.compile(r"^(\d+)\.\s+")
+
+
+def is_semantic_column(name: str) -> bool:
+    """A column name that parses as a float is non-semantic
+    (/root/reference/src/tablevalidate/schema.py:43-49)."""
+    try:
+        float(name)
+        return False
+    except ValueError:
+        return True
+
+
+# --- vectorized helpers ----------------------------------------------------
+
+
+def normalize_str_list(values: list) -> list:
+    """normalize_str over a python list (None-preserving), with an ASCII
+    fast path."""
+    out = []
+    fast = _ASCII_SAFE_RE.match
+    for v in values:
+        if v is None:
+            out.append(None)
+        elif fast(v):
+            out.append(_normalize_str_ascii_fast(v))
+        else:
+            out.append(normalize_str(v))
+    return out
+
+
+def normalize_str_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return pa.array(normalize_str_list(arr.to_pylist()), type=pa.string())
+
+
+def normalize_column_value_list(values: list) -> list:
+    out = []
+    for v in values:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(normalize_column_value(v))
+    return out
+
+
+def normalize_column_name_list(values: list) -> list:
+    out = []
+    simple = _ASCII_SIMPLE_RE.match
+    for v in values:
+        if v is None:
+            out.append(None)
+        elif simple(v) and "  " not in v:
+            s = v.strip().replace(" ", "_")
+            while "__" in s:
+                s = s.replace("__", "_")
+            out.append(s.strip("_"))
+        else:
+            out.append(normalize_column_name(v))
+    return out

@@ -1,0 +1,228 @@
+"""Arrow schemas + the cells round-trip encoding.
+
+Three tables flow through the engine:
+
+1. **Docs** (pipeline input, BASELINE.json input_hint):
+   ``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)``.
+2. **Spans** (extraction output / correctness invariant): flat ordered
+   ``(doc_id, span_idx, kind, text, media_ref)`` — span-sequence equality on
+   ``(kind, text, media_ref, order)`` per doc_id is the per-row invariant.
+3. **Cells** (extracted/merged table rows, crosses the merge shuffle):
+   one Arrow row per table row, addressed by
+   ``(doc_id, source_uuid, table_idx, fragment_idx, page, row_idx)`` with the
+   dynamic per-row column set in a ``map<string, list<struct<value,
+   agreement_level>>>`` column.
+
+Dynamic-columns encoding (reference: pydantic ``extra="allow"`` rows,
+/root/reference/src/tablevalidate/schema.py:19-24, with
+``ColumnValue = None | str | List[ValueWithAgreement]``): Arrow has no union
+of string vs struct-list, so we encode inside the map value using an
+agreement-level sentinel:
+
+    plain string ``s``        → ``[(s, -1)]``
+    ``None``                  → ``[("", -2)]``
+    ``[]``                    → ``[]`` (a real empty vote list, produced by
+                                column-agreement merge of all-None cells —
+                                fragments_builder.py:20-37)
+    ``[ValueWithAgreement…]`` → as-is (agreement levels are ≥ 1 in practice)
+
+The decode side restores the exact python union, so reference semantics that
+distinguish ``"x"`` from ``[{"value": "x", "agreement_level": 1}]`` (e.g.
+``same_row`` dict equality, tablesfile_merger.py:49-55) survive a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import pyarrow as pa
+
+from .rowmodel import ColumnValue, Row, make_row
+
+# --- schemas ---------------------------------------------------------------
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+SPANS_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+    ]
+)
+
+VWA_STRUCT = pa.struct([("value", pa.string()), ("agreement_level", pa.int32())])
+CELLS_TYPE = pa.map_(pa.string(), pa.list_(VWA_STRUCT))
+
+CELLS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source_uuid", pa.string()),
+        ("table_idx", pa.int32()),
+        ("fragment_idx", pa.int32()),
+        ("page", pa.int32()),
+        ("pos", pa.int32()),  # row position within fragment (stable order)
+        ("row_idx", pa.int32()),  # the reference's row_ metadata (nullable)
+        ("agreement_level", pa.int32()),
+        ("sources", pa.list_(pa.string())),
+        ("cells", CELLS_TYPE),
+        ("citation", pa.string()),  # doc-level, repeated (nullable)
+    ]
+)
+
+PLAIN_STRING_SENTINEL = -1
+NONE_SENTINEL = -2
+
+
+# --- cell encode/decode ----------------------------------------------------
+
+
+def encode_cell(value: ColumnValue) -> list:
+    if value is None:
+        return [("", NONE_SENTINEL)]
+    if isinstance(value, str):
+        return [(value, PLAIN_STRING_SENTINEL)]
+    return [(v["value"], v["agreement_level"]) for v in value]
+
+
+def decode_cell(pairs: list) -> ColumnValue:
+    if len(pairs) == 1:
+        value, lvl = _pair(pairs[0])
+        if lvl == NONE_SENTINEL:
+            return None
+        if lvl == PLAIN_STRING_SENTINEL:
+            return value
+    return [
+        {"value": v, "agreement_level": lvl}
+        for v, lvl in (_pair(p) for p in pairs)
+    ]
+
+
+def _pair(p) -> tuple:
+    if isinstance(p, dict):
+        return p["value"], p["agreement_level"]
+    return p
+
+
+def encode_cells(cells: Dict[str, ColumnValue]) -> list:
+    return [(name, encode_cell(v)) for name, v in cells.items()]
+
+
+def decode_cells(entries: list) -> Dict[str, ColumnValue]:
+    return {name: decode_cell(pairs) for name, pairs in entries}
+
+
+# --- rows (python) ↔ cells table (arrow) -----------------------------------
+
+
+def rows_to_table(records: List[dict]) -> pa.Table:
+    """``records``: dicts with the CELLS_SCHEMA fields, ``cells`` as a
+    python dict of ColumnValue and the metadata split out."""
+    cols: Dict[str, list] = {name: [] for name in CELLS_SCHEMA.names}
+    for rec in records:
+        for name in CELLS_SCHEMA.names:
+            if name == "cells":
+                cols[name].append(encode_cells(rec["cells"]))
+            else:
+                cols[name].append(rec.get(name))
+    arrays = [
+        pa.array(cols[name], type=CELLS_SCHEMA.field(name).type)
+        for name in CELLS_SCHEMA.names
+    ]
+    return pa.Table.from_arrays(arrays, schema=CELLS_SCHEMA)
+
+
+def table_to_row_records(table: pa.Table) -> List[dict]:
+    """Inverse of ``rows_to_table`` (order-preserving)."""
+    data = table.to_pydict()
+    n = table.num_rows
+    out = []
+    for i in range(n):
+        rec = {name: data[name][i] for name in table.column_names if name != "cells"}
+        rec["cells"] = decode_cells(data["cells"][i])
+        out.append(rec)
+    return out
+
+
+def record_to_row(rec: dict) -> Row:
+    return make_row(
+        rec["cells"],
+        agreement_level=rec.get("agreement_level"),
+        sources=rec.get("sources"),
+        row_idx=rec.get("row_idx"),
+    )
+
+
+def records_to_tablesfiles(records: List[dict]) -> Dict[str, dict]:
+    """Reassemble one doc's cell rows into per-source tablesfile trees:
+    ``{source_uuid: {"tables": [ {"fragments": [ {"page", "rows"} ]} ],
+    "citation": str|None}}``. Records must belong to a single doc_id; order
+    within (source, table, fragment) follows ``pos``."""
+    by_source: Dict[str, dict] = {}
+    for rec in sorted(
+        records,
+        key=lambda r: (
+            r["source_uuid"] or "",
+            r["table_idx"] or 0,
+            r["fragment_idx"] or 0,
+            r["pos"] or 0,
+        ),
+    ):
+        src = by_source.setdefault(
+            rec["source_uuid"], {"tables": [], "citation": rec.get("citation")}
+        )
+        tables: list = src["tables"]
+        while len(tables) <= rec["table_idx"]:
+            tables.append({"fragments": []})
+        fragments = tables[rec["table_idx"]]["fragments"]
+        while len(fragments) <= rec["fragment_idx"]:
+            fragments.append({"page": rec["page"], "rows": []})
+        frag = fragments[rec["fragment_idx"]]
+        frag["page"] = rec["page"]
+        frag["rows"].append(record_to_row(rec))
+    return by_source
+
+
+def tablesfile_to_records(
+    doc_id: str,
+    source_uuid: str,
+    tablesfile: dict,
+) -> List[dict]:
+    """Flatten a tablesfile tree back into CELLS_SCHEMA records."""
+    out = []
+    citation = tablesfile.get("citation")
+    for t_idx, table in enumerate(tablesfile["tables"]):
+        for f_idx, frag in enumerate(table["fragments"]):
+            for pos, row in enumerate(frag["rows"]):
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "source_uuid": source_uuid,
+                        "table_idx": t_idx,
+                        "fragment_idx": f_idx,
+                        "page": frag["page"],
+                        "pos": pos,
+                        "row_idx": row["row_idx"],
+                        "agreement_level": row["agreement_level"],
+                        "sources": row["sources"],
+                        "cells": row["cells"],
+                        "citation": citation,
+                    }
+                )
+    return out
