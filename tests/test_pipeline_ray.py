@@ -1,0 +1,51 @@
+"""Ray Data wiring tests: streaming extraction pipeline at sf0.001."""
+
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractPipeline:
+    def test_pipeline_matches_expected_spans(self):
+        from paper2table_ray.pipelines.extract import (
+            extract_pipeline,
+            synth_docs_dataset,
+        )
+        from paper2table_ray.sources.synth import synth_corpus_tables
+
+        spans = extract_pipeline(SF)
+        got = spans.to_pandas()
+        _, expected = synth_corpus_tables(f"{SF}/documents.parquet")
+        exp = expected.to_pandas()
+
+        key = ["doc_id", "span_idx"]
+        got = got.sort_values(key).reset_index(drop=True)
+        exp = exp.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got.equals(exp)
+
+        docs = synth_docs_dataset(SF)
+        assert docs.count() == 500
+
+    def test_kind_stats_aggregate(self):
+        from paper2table_ray.pipelines.extract import (
+            extract_pipeline,
+            spans_kind_stats,
+        )
+
+        stats = spans_kind_stats(extract_pipeline(SF)).to_pandas()
+        kinds = dict(zip(stats["kind"], stats["n"]))
+        assert kinds.get("row", 0) > 100
+        assert kinds.get("text", 0) > 500
+
+    def test_size_buckets(self):
+        from paper2table_ray.pipelines.extract import (
+            add_size_buckets,
+            synth_docs_dataset,
+        )
+
+        ds = add_size_buckets(synth_docs_dataset(SF))
+        buckets = ds.to_pandas()["size_bucket"]
+        assert buckets.nunique() > 2  # skewed sizes exist
