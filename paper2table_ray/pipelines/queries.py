@@ -1,0 +1,534 @@
+"""Driver-facing query suite: one entry per implemented operator family
+(SURVEY.md §2 + the training-data operators), each over the driver's
+parquet tables so a DuckDB oracle can verify it.
+
+Float determinism notes (the driver hash-compares values):
+
+- money/measure aggregates are ``round(x, 2)`` on BOTH sides — distributed
+  double summation is order-dependent at ~1e-9, rounding absorbs it;
+- similarity scores are omitted from ANN outputs (float32/float64 kernel
+  differences between numpy and DuckDB would never hash-match) — ranking
+  correctness is asserted by the returned id set/order instead;
+- ratio columns divide the same integer operands on both sides → bit-equal.
+
+Ray is initialised by the driver before these run; nothing here may call
+``ray.init``/``ray.shutdown``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_sql(x, ndigits: int):
+    """DuckDB-compatible rounding (half AWAY from zero). numpy/pyarrow/
+    pandas round half-to-even, which disagrees with SQL ROUND() on exact
+    .5 boundaries — that would break the driver's value-hash compare."""
+    scale = 10.0 ** ndigits
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+# --- relational core --------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → pre-aggregated groupby (partial sums
+    inside map_batches, then the small final groupby — SURVEY.md G5
+    partial+final pattern)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less(batch.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-01")))
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    "l_linestatus": pa.array([], type=pa.string()),
+                    "p_qty": pa.array([], type=pa.float64()),
+                    "p_price": pa.array([], type=pa.float64()),
+                    "p_rev": pa.array([], type=pa.float64()),
+                    "p_disc": pa.array([], type=pa.float64()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        df = batch.to_pandas()
+        df["p_rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                p_qty=("l_quantity", "sum"),
+                p_price=("l_extendedprice", "sum"),
+                p_rev=("p_rev", "sum"),
+                p_disc=("l_discount", "sum"),
+                p_n=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="s_qty"),
+            Sum("p_price", alias_name="s_price"),
+            Sum("p_rev", alias_name="s_rev"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_n", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    result = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": round_sql(out["s_qty"], 2),
+            "sum_base_price": round_sql(out["s_price"], 2),
+            "sum_disc_price": round_sql(out["s_rev"], 2),
+            "avg_qty": round_sql(out["s_qty"] / out["n_rows"], 4),
+            "avg_disc": round_sql(out["s_disc"] / out["n_rows"], 4),
+            "count_order": out["n_rows"].astype("int64"),
+        }
+    )
+    return result.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join: orders ⨝ customer ⨝ nation with both dimension
+    sides shipped once via ray.put and probed per batch (no shuffle —
+    SURVEY.md §2.4 J6 pattern)."""
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_to_nation = dict(
+        zip(
+            customer.column("c_custkey").to_pylist(),
+            customer.column("c_nationkey").to_pylist(),
+        )
+    )
+    nation_name = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        c2n, n2name = ray.get(lookup_ref)
+        custkeys = batch.column("o_custkey").to_pylist()
+        names = [n2name[c2n[k]] for k in custkeys]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(join_batch, batch_format="pyarrow", batch_size=65536)
+    out = (
+        joined.groupby("n_name")
+        .aggregate(
+            Sum("o_totalprice", alias_name="total_price"),
+            Count(alias_name="order_count"),
+        )
+        .to_pandas()
+    )
+    out["total_price"] = round_sql(out["total_price"], 2)
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_top_orders(sf_dir: str):
+    """Sort + limit (top-k)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    out["o_totalprice"] = round_sql(out["o_totalprice"], 2)
+    return out
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + computed projection."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_quantity"), pa.scalar(45.0)))
+        revenue_raw = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        revenue = pa.array(round_sql(revenue_raw.to_numpy(), 2))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct (shuffle) + sort."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    out = ds.groupby("c_mktsegment").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, hour) count + sum(value)
+    (streaming-shaped workload as partitioned batch — ray_guide pattern)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def floor_hour(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(floor_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_sql(out["sum_value"], 2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_supplier_minmax(sf_dir: str):
+    """Min/Max/Mean aggregates per nation over supplier."""
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    out = (
+        ds.groupby("s_nationkey")
+        .aggregate(
+            Min("s_acctbal", alias_name="min_bal"),
+            Max("s_acctbal", alias_name="max_bal"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["min_bal"] = round_sql(out["min_bal"], 2)
+    out["max_bal"] = round_sql(out["max_bal"], 2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+# --- document / training-data operators -------------------------------------
+
+
+def q_doc_features(sf_dir: str):
+    """Token counting + punctuation stats + md5 fingerprint per document
+    (stages/textqc.py; oracle replicates the exact regexes in RE2)."""
+    from ..stages.textqc import add_text_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_text_features, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "token_count", "word_chars", "punct_count", "fingerprint"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup survivors (hash-partition + per-group min id)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_docs_by_lang(sf_dir: str):
+    """Per-language corpus stats (groupby + multiple aggregates)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["avg_chars"] = round_sql(out["avg_chars"], 4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality gate: keep docs inside token/punctuation bands (the
+    SQL-expressible core of the quality-score stage)."""
+    from ..stages.textqc import add_text_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = ds.map_batches(add_text_features, batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("token_count"), pa.scalar(20, pa.int64())),
+            pc.less_equal(batch.column("punct_ratio"), pa.scalar(0.1)),
+        )
+        return batch.filter(keep).select(["doc_id", "token_count"])
+
+    return feats.map_batches(gate, batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k (scores omitted — see module docstring)."""
+    from ..stages.ann import topk_cosine
+
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
+    query = first.column("embedding").to_pylist()[0]
+    ds = _read(sf_dir, "embeddings")
+    out = topk_cosine(ds, query, k=5).to_pandas()
+    return out[["vec_id"]]
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (rows-only check: stopword sets aren't
+    reasonably SQL-portable)."""
+    from ..stages.textqc import LanguageId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LanguageId, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    """Composite quality score (rows-only: heuristic formula)."""
+    from ..stages.textqc import add_quality_score, add_text_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_text_features, batch_format="pyarrow").map_batches(
+        add_quality_score, batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "quality_score"]), batch_format="pyarrow"
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs (rows-only)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, exact_verify=True)
+    out = pairs.to_pandas()
+    if len(out):
+        out["jaccard"] = out["jaccard"].round(4)
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-duplicate pairs (rows-only)."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=6).to_pandas()
+    if len(out):
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only)."""
+    from ..stages.ann import embedding_cosine_dedup_pairs
+
+    ds = _read(sf_dir, "embeddings")
+    out = embedding_cosine_dedup_pairs(ds, threshold=0.98, n_bits=6, dim=64)
+    df = out.to_pandas()
+    if len(df):
+        df = df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    else:
+        df = df.reindex(columns=["id_a", "id_b"])
+    return df
+
+
+def q_extract_spans(sf_dir: str):
+    """Flagship extraction pipeline (rows-only: input is the synthesized
+    interleaved corpus; correctness is the pytest span-equality gate)."""
+    from .extract import extract_pipeline
+
+    return extract_pipeline(sf_dir)
+
+
+def q_extract_kind_stats(sf_dir: str):
+    """Span-kind histogram of the flagship output (rows-only)."""
+    from .extract import extract_pipeline, spans_kind_stats
+
+    out = spans_kind_stats(extract_pipeline(sf_dir)).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+# --- registry ---------------------------------------------------------------
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_nation": q_orders_by_nation,
+    "top_orders": q_top_orders,
+    "filter_project": q_filter_project,
+    "distinct_segments": q_distinct_segments,
+    "events_hourly": q_events_hourly,
+    "supplier_minmax": q_supplier_minmax,
+    "doc_features": q_doc_features,
+    "exact_dedup": q_exact_dedup,
+    "docs_by_lang": q_docs_by_lang,
+    "quality_filter": q_quality_filter,
+    "knn_cosine": q_knn_cosine,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dedup": q_embedding_dedup,
+    "extract_spans": q_extract_spans,
+    "extract_kind_stats": q_extract_kind_stats,
+}
+
+ORACLE_SQL = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty,
+               round(sum(l_discount) / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "orders_by_nation": """
+        SELECT n.n_name,
+               round(sum(o.o_totalprice), 2) AS total_price,
+               count(*) AS order_count
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    "top_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC
+        LIMIT 10
+    """,
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity > 45
+    """,
+    "distinct_segments": """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, hour
+    """,
+    "supplier_minmax": """
+        SELECT s_nationkey,
+               round(min(s_acctbal), 2) AS min_bal,
+               round(max(s_acctbal), 2) AS max_bal,
+               count(*) AS n
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
+    "doc_features": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token_count,
+               length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) AS word_chars,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                   AS punct_count,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    """,
+    "exact_dedup": """
+        SELECT doc_id, content_hash FROM (
+            SELECT doc_id, md5(text) AS content_hash,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "docs_by_lang": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               round(sum(n_chars) / count(*), 4) AS avg_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "quality_filter": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token_count
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 20
+          AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+              / greatest(length(text), 1) <= 0.1
+    """,
+    "knn_cosine": """
+        SELECT vec_id
+        FROM embeddings
+        ORDER BY list_cosine_similarity(
+            embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        ) DESC
+        LIMIT 5
+    """,
+}

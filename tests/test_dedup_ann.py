@@ -1,0 +1,188 @@
+"""Dedup, text-analysis and similarity-search operators (unit + small-scale
+Ray runs with brute-force cross-checks)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from paper2table_ray.stages import dedup as dd
+from paper2table_ray.stages import textqc as tq
+from paper2table_ray.stages.ann import (
+    SignLSHIndexer,
+    embedding_cosine_dedup_pairs,
+    lsh_bucketed_topk,
+    topk_cosine,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTextQC:
+    def test_features(self):
+        batch = pa.table({"doc_id": [1], "text": ["Hello, world! One two."]})
+        out = tq.add_text_features(batch)
+        assert out.column("token_count").to_pylist() == [4]
+        assert out.column("punct_count").to_pylist() == [3]
+        assert out.column("fingerprint").to_pylist()[0] == tq.fingerprint_md5(
+            "Hello, world! One two."
+        )
+
+    def test_canonical_matches_duckdb(self):
+        import duckdb
+
+        texts = ["  A  B\tc ", "x", "", "Ünï code  here"]
+        con = duckdb.connect()
+        for t in texts:
+            sql = con.execute(
+                "select md5(lower(trim(regexp_replace(?, '\\s+', ' ', 'g'))))", [t]
+            ).fetchone()[0]
+            assert sql == tq.fingerprint_md5(t)
+
+    def test_language_id(self):
+        lid = tq.LanguageId()
+        assert lid.classify("the cat and the dog are in the house") == "en"
+        assert lid.classify("el perro y el gato en la casa") == "es"
+        assert lid.classify("der Hund und die Katze im Haus") == "de"
+        assert lid.classify("le chien et le chat dans la maison est") == "fr"
+        assert lid.classify("12345 67890") == "und"
+        assert lid.classify("") == "und"
+
+    def test_quality_score_bounds(self):
+        batch = tq.add_text_features(
+            pa.table({"text": ["the and of " * 40, "x", "!!!!!!!!"]})
+        )
+        out = tq.add_quality_score(batch)
+        scores = out.column("quality_score").to_pylist()
+        assert all(0.0 <= s <= 1.0 for s in scores)
+        assert scores[0] > scores[2]
+
+    def test_winnow_sketch(self):
+        a = tq.winnow_fingerprints("one two three four five six seven eight nine ten")
+        b = tq.winnow_fingerprints("one two three four five six seven eight nine ten")
+        assert a == b and len(a) > 0
+        c = tq.winnow_fingerprints("totally different words here from another doc ok")
+        assert a != c
+        assert tq.winnow_fingerprints("tiny") == []
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        a, b = dd._perm_params(256)
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        s1 = dd._shingle_hashes(base, 3)
+        s2 = dd._shingle_hashes(base + " extra tail words here now", 3)
+        sig1 = dd.minhash_signature(s1, a, b)
+        sig2 = dd.minhash_signature(s2, a, b)
+        est = (sig1 == sig2).mean()
+        true = len(set(s1) & set(s2)) / len(set(s1) | set(s2))
+        assert abs(est - true) < 0.15
+        assert (sig1 == dd.minhash_signature(s1, a, b)).all()
+
+    def test_simhash_similar_texts_close(self):
+        t1 = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        t2 = t1 + "iota"
+        d = bin(dd.simhash64(t1) ^ dd.simhash64(t2)).count("1")
+        assert d <= 12
+        far = bin(
+            dd.simhash64(t1) ^ dd.simhash64("completely unrelated content words")
+        ).count("1")
+        assert far > d
+
+
+def _near_dup_docs():
+    base = (
+        "spark join filter table scan merge sort window batch stream "
+        "group agg row column vector hash key order value query data "
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + "tiny tail"},  # near dup of 1
+        {"doc_id": 3, "text": base.replace("spark", "flink", 1)},  # near dup of 1
+        {"doc_id": 4, "text": "completely different words in this one document ok"},
+        {"doc_id": 5, "text": base},  # exact dup of 1
+    ]
+    return rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupRay:
+    def test_exact_dedup(self):
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "same content"},
+                {"doc_id": 2, "text": "same content"},
+                {"doc_id": 3, "text": "other content"},
+            ]
+        )
+        out = dd.exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [1, 3]
+
+    def test_minhash_lsh_finds_near_dups(self):
+        ds = ray.data.from_items(_near_dup_docs())
+        pairs = dd.minhash_lsh_pairs(ds, threshold=0.6, exact_verify=True).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (1, 5) in got  # exact dup
+        assert (1, 2) in got  # near dup
+        assert not any(4 in p for p in got)
+        # jaccard values exact (verified on true shingle sets)
+        exact_15 = pairs[
+            (pairs.doc_a == 1) & (pairs.doc_b == 5)
+        ]["jaccard"].iloc[0]
+        assert exact_15 == 1.0
+
+    def test_simhash_pairs(self):
+        ds = ray.data.from_items(_near_dup_docs())
+        pairs = dd.simhash_pairs(ds, max_hamming=10).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (1, 5) in got
+        assert not any(4 in p for p in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestANN:
+    def _embeddings(self):
+        return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+    def _query(self):
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+
+    def test_topk_matches_bruteforce(self):
+        q = self._query()
+        got = topk_cosine(self._embeddings(), q, k=5).to_pandas()
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        scores = mn @ qn
+        exp_ids = np.asarray(t.column("vec_id"))[np.argsort(-scores)[:5]]
+        assert got["vec_id"].tolist() == exp_ids.tolist()
+        assert got["score"].iloc[0] == pytest.approx(1.0)
+
+    def test_lsh_topk_contains_query_vector(self):
+        q = self._query()
+        got = lsh_bucketed_topk(self._embeddings(), q, k=5).to_pandas()
+        assert len(got) <= 5 and len(got) >= 1
+        assert got["vec_id"].iloc[0] == 0  # the query vector itself
+
+    def test_embedding_dedup_finds_identical(self):
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]},
+            {"vec_id": 2, "embedding": [1.0, 0.001, 0.0, 0.0]},
+            {"vec_id": 3, "embedding": [0.0, 1.0, 0.0, 0.0]},
+        ]
+        ds = ray.data.from_items(rows)
+        pairs = embedding_cosine_dedup_pairs(ds, threshold=0.99, n_bits=2, dim=4)
+        got = pairs.to_pandas()
+        assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == {(1, 2)}
+
+    def test_sign_lsh_deterministic(self):
+        ix1 = SignLSHIndexer(4, n_bits=4, seed=7)
+        ix2 = SignLSHIndexer(4, n_bits=4, seed=7)
+        m = np.random.RandomState(0).standard_normal((10, 4))
+        assert (ix1.code(m) == ix2.code(m)).all()
