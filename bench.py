@@ -38,9 +38,11 @@ BENCH_QUERIES = [
 
 def _consume(result) -> int:
     """Force execution; return row count."""
-    if hasattr(result, "count") and not hasattr(result, "columns"):
-        return int(result.count())
-    return len(result)
+    import pandas as pd
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return int(result.count())  # ray.data.Dataset
 
 
 def run_bench() -> dict:

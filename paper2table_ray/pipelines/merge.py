@@ -1,0 +1,165 @@
+"""Merge pipeline (Ray Data wiring of SURVEY.md §3.2).
+
+Reference lifecycle (/root/reference/src/tablemerge/__main__.py:244-310):
+group ``*.tables.json`` by paper → per paper: Phase 1 load each source
+through the pretransformer + aligner chain, Phase 2 cursor-merge with
+agreement, Phase 3 postprocess → write. The thread pool over papers
+becomes ``groupby("doc_id").map_groups`` — the single all-to-all shuffle,
+keyed on doc_id (J1), with groups per-paper small so no salting is needed.
+
+Load-time per-fragment transforms also run inside the group UDF (not as a
+separate map_batches) because a fragment's rows must be processed together
+and the group already co-locates the whole doc; this trades a little
+parallelism inside one doc for zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .. import rowmodel as rm
+from ..schema import (
+    CELLS_SCHEMA,
+    records_to_tablesfiles,
+    rows_to_table,
+    table_to_row_records,
+    tablesfile_to_records,
+)
+from ..stages.aligners import (
+    AliasLoadTimeAnalyzer,
+    ColumnNamesNormalizerLoadTimeAnalyzer,
+    HintsLoadTimeAnalyzer,
+    JaccardMergeTimeAnalyzer,
+    LoadTimeColumnAligner,
+)
+from ..stages.merge import (
+    DistinctReadersAgreement,
+    SimpleCountAgreement,
+    TablesFileMerger,
+)
+from ..stages.transformers import (
+    FilterEmptyRowsTransformer,
+    FilterTitleRowsTransformer,
+    apply_fragment_transformers,
+    build_postprocessors,
+)
+
+MERGED_UUID = "merged"
+
+
+@dataclass
+class MergeConfig:
+    """Flag surface mirroring tablemerge's CLI (subset; same defaults)."""
+
+    column_agreement: bool = False
+    distinct_readers: bool = False
+    uuid_to_reader: Dict[str, str] = field(default_factory=dict)
+    jaccard_alignment: bool = True
+    hints: List[str] = field(default_factory=list)
+    aliases: Dict[str, str] = field(default_factory=dict)
+    filter_title_rows: bool = True
+    source_order: Optional[List[str]] = None
+    page_offsets: Dict[str, int] = field(default_factory=dict)
+    drop_empty_columns: bool = True
+    drop_empty_tables: bool = True
+
+
+def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
+    """Phase 1 (tablesfile_loader.py:27-43): pretransformers → always-on
+    column-name normalization + optional hints/alias analyzers →
+    always-appended empty-row filter."""
+    pre = []
+    if config.filter_title_rows:
+        pre.append(FilterTitleRowsTransformer())
+    tf = apply_fragment_transformers(tf, pre)
+
+    analyzers = [ColumnNamesNormalizerLoadTimeAnalyzer()]
+    if config.hints:
+        analyzers.append(HintsLoadTimeAnalyzer(config.hints))
+    if config.aliases:
+        analyzers.append(AliasLoadTimeAnalyzer(config.aliases))
+
+    tables = []
+    for table in tf["tables"]:
+        fragments = []
+        for frag in table["fragments"]:
+            aligner = LoadTimeColumnAligner(frag, analyzers)
+            frag = {
+                "rows": [aligner.rename_row(r) for r in frag["rows"]],
+                "page": frag["page"],
+            }
+            fragments.append(frag)
+        tables.append({"fragments": fragments})
+    tf = {**tf, "tables": tables}
+    return apply_fragment_transformers(tf, [FilterEmptyRowsTransformer()])
+
+
+def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
+    """The per-doc reduce: records (CELLS_SCHEMA dicts, one doc) → merged
+    records stamped with source_uuid=MERGED_UUID."""
+    if not records:
+        return []
+    doc_id = records[0]["doc_id"]
+    by_source = records_to_tablesfiles(records)
+
+    order = config.source_order or sorted(by_source)
+    tablesfiles, offsets = [], []
+    for uuid in order:
+        if uuid not in by_source:
+            continue
+        tf = dict(by_source[uuid])
+        tf["uuid"] = uuid
+        tf = _load_tablesfile(tf, config)
+        if all(
+            rm.fragment_is_empty(f)
+            for t in tf["tables"]
+            for f in t["fragments"]
+        ):
+            continue  # skip all-empty sources (tablemerge __main__.py:208-212)
+        tablesfiles.append(tf)
+        offsets.append(config.page_offsets.get(uuid, 0))
+    if not tablesfiles:
+        return []
+
+    agreement = (
+        DistinctReadersAgreement(config.uuid_to_reader)
+        if config.distinct_readers
+        else SimpleCountAgreement()
+    )
+    analyzers = [JaccardMergeTimeAnalyzer()] if config.jaccard_alignment else []
+    merged = TablesFileMerger(
+        agreement=agreement,
+        column_agreement=config.column_agreement,
+        analyzers=analyzers,
+    ).merge(tablesfiles, page_offsets=offsets)
+
+    for name, post in build_postprocessors(
+        with_drop_empty_columns=config.drop_empty_columns,
+        with_drop_empty_tables=config.drop_empty_tables,
+    ):
+        merged = post(merged)
+
+    return tablesfile_to_records(doc_id, MERGED_UUID, merged)
+
+
+def merge_pipeline(
+    cells: ray.data.Dataset, config: Optional[MergeConfig] = None
+) -> ray.data.Dataset:
+    """cells Dataset (CELLS_SCHEMA, multiple source_uuids) → merged cells
+    Dataset. One shuffle: groupby(doc_id)."""
+    cfg = config or MergeConfig()
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        records = table_to_row_records(group)
+        out = merge_doc_records(records, cfg)
+        if not out:
+            return CELLS_SCHEMA.empty_table()
+        return rows_to_table(out)
+
+    return cells.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")

@@ -211,23 +211,23 @@ def q_distinct_segments(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling-window aggregate: per (event_type, hour) count + sum(value)
-    (streaming-shaped workload as partitioned batch — ray_guide pattern)."""
+    """Tumbling-window aggregate: per (event_type, hour) count + sum(value).
+    Pre-aggregated per batch (the shuffle sees blocks×groups partial rows,
+    not 100% of events — the combiner pattern)."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def floor_hour(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
-                "value": batch.column("value"),
-            }
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(floor_hour, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value"))
         .to_pandas()
     )
     out["sum_value"] = round_sql(out["sum_value"], 2)
@@ -508,7 +508,7 @@ ORACLE_SQL = {
         ) WHERE rn = 1
     """,
     "docs_by_lang": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                round(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents
         GROUP BY lang

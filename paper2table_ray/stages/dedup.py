@@ -208,9 +208,12 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> ray.data.Dataset:
-    """Keep the smallest id per identical canonical content
-    (hash-partition + per-group first; SURVEY.md O6). Returns the
-    surviving rows' (id, content hash)."""
+    """Keep the smallest id per identical content (SURVEY.md O6).
+
+    Expressed as ``groupby(content_hash).aggregate(Min(id))`` — a
+    hash-partitioned aggregate, fully vectorized (vs. per-group python of
+    ``map_groups``, which pays per-group overhead on millions of tiny
+    groups at scale)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib as h
@@ -226,9 +229,12 @@ def exact_dedup(
             }
         )
 
+    from ray.data.aggregate import Min
+
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(
-        lambda g: g.sort_values(id_col).head(1), batch_format="pandas"
+    out = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return out.map_batches(
+        lambda b: b.select([id_col, "content_hash"]), batch_format="pyarrow"
     )
 
 

@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are opaque ``binary`` columns with sibling metadata;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The actual codec libraries (Pillow, ffmpeg, …) are
+NOT in this container, so the decoder backends are stubbed behind a
+clearly-marked seam (``NotImplementedError`` for the real path, a
+deterministic fake for tests) — the Ray-side plumbing (schemas, batch
+sizing, actor signature, output layout) is real and tested.
+
+Scale notes: media rows are large → small ``batch_size`` (payload bytes
+dominate, so a batch of 8-32 rows keeps batch × concurrency inside worker
+heaps); the object store handles spill. Never convert media batches to
+pandas (object-dtype copies); stay in Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("media_kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class FakeImageBackend:
+    """Deterministic stand-in for a real decoder: 'decodes' payload bytes
+    into a pseudo-image (hash-seeded), so shapes/dtypes downstream are
+    real."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
+        rng = np.random.RandomState(seed)
+        h, w = rng.randint(16, 64), rng.randint(16, 64)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def resize(self, img: np.ndarray, size: int) -> np.ndarray:
+        # nearest-neighbor via index sampling (no scipy/PIL)
+        h, w = img.shape[:2]
+        ys = (np.arange(size) * h // size).clip(0, h - 1)
+        xs = (np.arange(size) * w // size).clip(0, w - 1)
+        return img[ys][:, xs]
+
+
+class RealImageBackend:
+    """Seam for a real decoder (Pillow/torchvision). Not available here."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "Real image decoding requires Pillow/opencv, which are not in "
+            "this container; plug a backend implementing decode()/resize()."
+        )
+
+    def resize(self, img, size):
+        raise NotImplementedError
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode → resize → mean-pooled color histogram
+    feature. Backend chosen at construction (init-once-per-actor)."""
+
+    def __init__(self, target_size: int = 32, backend: Optional[object] = None):
+        self.target_size = target_size
+        self.backend = backend or FakeImageBackend()
+
+    def features(self, img: np.ndarray) -> np.ndarray:
+        small = self.backend.resize(img, self.target_size)
+        hist = [
+            np.histogram(small[..., c], bins=8, range=(0, 256))[0]
+            for c in range(small.shape[-1])
+        ]
+        feat = np.concatenate(hist).astype(np.float32)
+        total = feat.sum()
+        return feat / total if total else feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths, heights, feats = [], [], []
+        for payload in payloads:
+            img = self.backend.decode(payload or b"")
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            feats.append(self.features(img).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, type=pa.string()),
+                pa.array(widths, type=pa.int32()),
+                pa.array(heights, type=pa.int32()),
+                pa.array(feats, type=pa.list_(pa.float32())),
+            ],
+            schema=IMAGE_FEATURES_SCHEMA,
+        )
+
+
+def synth_media_batch(batch: pa.Table) -> pa.Table:
+    """Build MEDIA_SCHEMA rows from extracted media spans (payload =
+    deterministic pseudo-bytes derived from media_ref; stands in for a
+    blob-store fetch)."""
+    refs = [r for r in batch.column("media_ref").to_pylist() if r]
+    payloads = [
+        hashlib.blake2b(r.encode(), digest_size=32).digest() * 8 for r in refs
+    ]
+    n = len(refs)
+    return pa.Table.from_arrays(
+        [
+            pa.array(refs, type=pa.string()),
+            pa.array(["image"] * n, type=pa.string()),
+            pa.array(payloads, type=pa.binary()),
+            pa.array(["application/x-fake"] * n, type=pa.string()),
+            pa.array([-1] * n, type=pa.int32()),
+            pa.array([-1] * n, type=pa.int32()),
+            pa.array([-1] * n, type=pa.int32()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_feature_pipeline(spans, target_size: int = 32, concurrency=(1, 4)):
+    """media spans → MEDIA_SCHEMA → actor-pool feature extraction.
+    Small batches: payload-heavy rows (see module docstring)."""
+    import pyarrow.compute as pc
+
+    media_rows = spans.map_batches(
+        lambda b: synth_media_batch(
+            b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
+        ),
+        batch_format="pyarrow",
+    )
+    return media_rows.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )

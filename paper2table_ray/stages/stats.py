@@ -1,0 +1,163 @@
+"""Corpus statistics (tablestats analogues, SURVEY.md §2.6 G4-G8).
+
+Per-paper stats are doc-local (``groupby(doc_id).map_groups``); global
+stats fold the tiny per-paper table with a driver-side sum — matching
+/root/reference/src/tablestats/stats.py semantics over the cells model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .. import rowmodel as rm
+from ..schema import records_to_tablesfiles, table_to_row_records
+
+
+def _row_value_strings(row: rm.Row) -> frozenset:
+    """stats.py:69-83."""
+    result = set()
+    for col, value in row["cells"].items():
+        if value is None:
+            continue
+        if isinstance(value, str):
+            v = value.strip()
+            if v:
+                result.add((col, v))
+        else:
+            for entry in value:
+                v = entry["value"].strip()
+                if v:
+                    result.add((col, v))
+    return frozenset(result)
+
+
+def _count_shared_values(tables: List[dict]) -> tuple:
+    """stats.py:86-111: group rows by row_idx within each table; count rows
+    sharing ≥1 (col, value) with another group member."""
+    rows_in_groups = 0
+    rows_with_shared = 0
+    for table in tables:
+        all_rows = [
+            row
+            for frag in table["fragments"]
+            for row in frag["rows"]
+            if row["row_idx"] is not None
+        ]
+        groups: Dict[int, list] = {}
+        for row in all_rows:
+            groups.setdefault(row["row_idx"], []).append(row)
+        for group in groups.values():
+            if len(group) < 2:
+                continue
+            rows_in_groups += len(group)
+            value_sets = [_row_value_strings(r) for r in group]
+            for i, vset in enumerate(value_sets):
+                if any(
+                    vset & value_sets[j]
+                    for j in range(len(value_sets))
+                    if j != i
+                ):
+                    rows_with_shared += 1
+    return rows_in_groups, rows_with_shared
+
+
+def compute_paper_stats(tablesfile: dict) -> dict:
+    """stats.py:138-193 over the dict model."""
+    tables = tablesfile["tables"]
+    all_fragments = [f for t in tables for f in t["fragments"]]
+    rows_count = sum(len(f["rows"]) for f in all_fragments)
+    unique_rows = sum(
+        len(
+            {
+                row["row_idx"]
+                for frag in t["fragments"]
+                for row in frag["rows"]
+                if row["row_idx"] is not None
+            }
+        )
+        for t in tables
+    )
+    rows_with_agreement = sum(
+        1
+        for f in all_fragments
+        for row in f["rows"]
+        if (row["agreement_level"] or 0) > 1
+    )
+    empty_rows = sum(
+        1 for f in all_fragments for row in f["rows"] if rm.row_is_empty(row)
+    )
+    unique_columns = {
+        col for f in all_fragments for row in f["rows"] for col in row["cells"]
+    }
+    rows_in_groups, rows_shared = _count_shared_values(tables)
+    return {
+        "tables": len(tables),
+        "fragments": len(all_fragments),
+        "rows": rows_count,
+        "unique_rows": unique_rows,
+        "columns": len(unique_columns),
+        "rows_with_agreement": rows_with_agreement,
+        "empty_rows": empty_rows,
+        "rows_in_shared_groups": rows_in_groups,
+        "rows_with_shared_values": rows_shared,
+    }
+
+
+def paper_stats_dataset(cells: ray.data.Dataset) -> ray.data.Dataset:
+    """cells → one stats row per (doc_id, source_uuid='merged' or any)."""
+
+    def per_doc(group: pa.Table) -> pd.DataFrame:
+        records = table_to_row_records(group)
+        if not records:
+            return pd.DataFrame()
+        doc_id = records[0]["doc_id"]
+        out = []
+        for uuid, tf in records_to_tablesfiles(records).items():
+            stats = compute_paper_stats(tf)
+            stats["doc_id"] = doc_id
+            stats["source_uuid"] = uuid
+            out.append(stats)
+        return pd.DataFrame(out)
+
+    return cells.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+
+
+def global_stats(paper_stats: ray.data.Dataset) -> dict:
+    """stats.py:114-135: running sums + percentages (tiny driver fold)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = paper_stats.aggregate(
+        Count(alias_name="papers"),
+        Sum("tables", alias_name="tables"),
+        Sum("fragments", alias_name="fragments"),
+        Sum("rows", alias_name="rows"),
+        Sum("unique_rows", alias_name="unique_rows"),
+        Sum("rows_with_agreement", alias_name="rows_with_agreement"),
+        Sum("rows_in_shared_groups", alias_name="rows_in_shared_groups"),
+        Sum("rows_with_shared_values", alias_name="rows_with_shared_values"),
+    )
+    out = dict(agg)
+    out["global_agreement_percentage"] = (
+        out["rows_with_agreement"] / out["rows"] * 100 if out["rows"] else None
+    )
+    out["global_shared_values_percentage"] = (
+        out["rows_with_shared_values"] / out["rows_in_shared_groups"] * 100
+        if out["rows_in_shared_groups"]
+        else None
+    )
+    return out
+
+
+def empty_papers(paper_stats: ray.data.Dataset) -> ray.data.Dataset:
+    """G8: papers with zero tables."""
+    import pyarrow.compute as pc
+
+    return paper_stats.map_batches(
+        lambda b: b.filter(pc.equal(b.column("tables"), 0)),
+        batch_format="pyarrow",
+    )

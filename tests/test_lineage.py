@@ -1,0 +1,68 @@
+"""Checkpointed partitioned output + resume (state/lineage.py)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+import ray.data
+
+from paper2table_ray.state.lineage import (
+    LineageSink,
+    partition_of,
+    read_extracted,
+    resumable_extract,
+)
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/p2t_lineage_test"
+
+
+def test_partition_of_deterministic():
+    assert partition_of("doc_000001", 32) == partition_of("doc_000001", 32)
+    assert 0 <= partition_of("anything", 7) < 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def setup_method(self):
+        shutil.rmtree(OUT, ignore_errors=True)
+
+    def test_write_then_resume_skips_everything(self):
+        summary1 = resumable_extract(SF, OUT, num_partitions=8)
+        assert len(summary1) == 8
+        assert (summary1["status"] == "ok").all()
+        total_rows = summary1["row_count"].sum()
+
+        # full output readable and matches span count
+        ds = read_extracted(OUT)
+        assert ds.count() == total_rows
+
+        # second run: all partitions complete → nothing written
+        summary2 = resumable_extract(SF, OUT, num_partitions=8)
+        assert len(summary2) == 0
+
+    def test_partial_resume(self):
+        resumable_extract(SF, OUT, num_partitions=8)
+        before = read_extracted(OUT).count()
+        # sabotage two partitions: drop their lineage + files
+        sink = LineageSink(OUT, num_partitions=8)
+        for pid in (1, 5):
+            os.remove(os.path.join(OUT, "_lineage", f"{pid:05d}.json"))
+            os.remove(os.path.join(OUT, f"part-{pid:05d}.parquet"))
+        assert sink.completed_partitions() == {0, 2, 3, 4, 6, 7}
+
+        summary = resumable_extract(SF, OUT, num_partitions=8)
+        assert sorted(summary["partition_id"]) == [1, 5]
+        assert read_extracted(OUT).count() == before
+
+    def test_lineage_records_shape(self):
+        resumable_extract(SF, OUT, num_partitions=4)
+        recs = LineageSink(OUT, num_partitions=4).lineage_records()
+        assert len(recs) == 4
+        for rec in recs:
+            assert rec["stage"] == "extract"
+            assert rec["doc_count"] > 0
+            assert rec["wall_ms"] >= 0
+            assert rec["status"] == "ok"

@@ -1,0 +1,97 @@
+"""Scientific-name canonicalization, filenorm planning, multimodal
+plumbing."""
+
+import pyarrow as pa
+import pytest
+
+from paper2table_ray.functions.scientific import (
+    canonicalize_multi,
+    canonicalize_scientific_name,
+)
+from paper2table_ray.stages.filenorm import plan_actions
+from paper2table_ray.stages.multimodal import (
+    FakeImageBackend,
+    ImageFeatureExtractor,
+    RealImageBackend,
+    synth_media_batch,
+)
+
+
+class TestScientificName:
+    @pytest.mark.parametrize(
+        "raw,canon",
+        [
+            ("Rosa canina L.", "Rosa canina"),
+            ("Rosa canina L., 1753", "Rosa canina"),
+            ("Ammi majus", "Ammi majus"),
+            ("Mentha spicata var. crispa Benth.", "Mentha spicata var. crispa"),
+            ("Pinus sylvestris subsp. hamata (Steven) Fomin", "Pinus sylvestris subsp. hamata"),
+            ("× Rosa hybrida", "Rosa hybrida"),
+            ("not a name", "not a name"),
+            ("UPPERCASE THING", "UPPERCASE THING"),
+            ("", ""),
+        ],
+    )
+    def test_canonical(self, raw, canon):
+        assert canonicalize_scientific_name(raw) == canon
+
+    def test_multi(self):
+        assert (
+            canonicalize_multi("Rosa canina L. / Ammi majus L.")
+            == "Rosa canina, Ammi majus"
+        )
+
+
+class TestFilenorm:
+    def test_dedup_keeps_normalized_or_shortest(self):
+        files = [
+            ("dir/My File.pdf", "h1"),
+            ("dir/my_file.pdf", "h1"),  # normalized name of "My File" → kept
+            ("dir/unrelated.pdf", "h2"),
+        ]
+        dups, renames, keepers = plan_actions(files)
+        assert keepers["h1"] == "dir/my_file.pdf"
+        assert dups["h1"] == ["dir/My File.pdf"]
+
+    def test_shortest_wins_otherwise(self):
+        files = [("a/longer_name.pdf", "h"), ("a/x.pdf", "h")]
+        _, _, keepers = plan_actions(files)
+        assert keepers["h"] == "a/x.pdf"
+
+    def test_renames_collision_avoidant(self):
+        files = [("d/A B.pdf", "h1"), ("d/a_b.PDF", "h2")]
+        dups, renames, keepers = plan_actions(files)
+        assert renames["d/A B.pdf"] == "a_b.pdf"
+        assert renames["d/a_b.PDF"] == "a_b_1.pdf"
+
+
+class TestMultimodal:
+    def test_fake_backend_deterministic(self):
+        b = FakeImageBackend()
+        img1 = b.decode(b"payload")
+        img2 = b.decode(b"payload")
+        assert (img1 == img2).all()
+        assert img1.ndim == 3 and img1.shape[2] == 3
+
+    def test_real_backend_is_stub(self):
+        with pytest.raises(NotImplementedError):
+            RealImageBackend().decode(b"x")
+
+    def test_feature_extractor_batch(self):
+        spans = pa.table(
+            {
+                "kind": ["media", "text", "media"],
+                "media_ref": ["img://aa", "", "img://bb"],
+            }
+        )
+        import pyarrow.compute as pc
+
+        media = synth_media_batch(
+            spans.filter(pc.equal(spans.column("kind"), pa.scalar("media")))
+        )
+        assert media.num_rows == 2
+        out = ImageFeatureExtractor(target_size=16)(media)
+        assert out.column_names == ["media_ref", "width", "height", "feature"]
+        feats = out.column("feature").to_pylist()
+        assert len(feats[0]) == 24  # 3 channels × 8 bins
+        assert abs(sum(feats[0]) - 1.0) < 1e-5
