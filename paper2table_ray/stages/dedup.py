@@ -4,7 +4,7 @@ Engine-level operators for large-scale training-data curation, following
 the published designs (MinHash: Broder '97; LSH banding: Mining of Massive
 Datasets ch.3; SimHash: Charikar '02 / Manku et al. WWW'07):
 
-- exact dedup: content-hash → hash-partitioned groupby → keep first
+- exact dedup: content-hash → hash-partitioned aggregate → keep first
   (reference analogue: filenorm md5 dedup, SURVEY.md O6,
   /root/reference/src/filenorm/__main__.py:21-66)
 - MinHash signatures + banded LSH candidate pairs (signature-estimated or
@@ -12,29 +12,43 @@ Datasets ch.3; SimHash: Charikar '02 / Manku et al. WWW'07):
 - SimHash 64-bit + chunk-pigeonhole candidate generation, Hamming verify
 - word n-gram Jaccard verification on hashed shingle sets
 
-Scale shape: everything is ``map_batches`` (vectorized numpy hashing) until
-the one intentional shuffle — ``groupby`` on the content hash / LSH bucket
-key — whose groups are tiny (bucket collisions), so no skew salting is
-needed. Signatures ride along as fixed-width list columns; raw text never
-crosses the shuffle for near-dup (only hashed shingle sets do when exact
-verification is requested).
+Scale shape (what crosses the wire, per doc):
+
+1. hashing is ``map_batches`` with ONE vectorized ``pd.util.hash_array``
+   call per batch (no per-shingle Python hashing);
+2. the LSH shuffle carries ONLY ``(bucket:int64, doc_id)`` band rows —
+   signatures and shingle sets never ride the all-to-all exchange;
+3. tiny LSH buckets are grouped under a coarse ``shard = bucket %
+   num_shards`` key so the groupby sees O(num_shards) groups, not one
+   per bucket (per-group overhead, not data volume, is what kills
+   ``map_groups`` over millions of 1-row groups);
+4. candidate pairs are made distinct with a sort-based ``aggregate``
+   (vectorized), then verified by hash-joining the packed signature /
+   shingle table back on both pair sides (`Dataset.join`) — the join
+   input is |candidates|, a small fraction of the corpus;
+5. oversized buckets (hot hashes: boilerplate, empty docs) are capped at
+   ``max_bucket_size`` members, deterministically by sorted doc id, so a
+   degenerate key cannot go quadratic.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
+from ray.data.aggregate import Min
 
 from .textqc import TOKEN_RE, canonical_text
 
 _MERSENNE_P = (1 << 61) - 1
 _HASH_RANGE = 1 << 32
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_MIX_ODD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -44,20 +58,40 @@ def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashed word-k-gram shingle set (uint32, unique, sorted)."""
-    tokens = TOKEN_RE.findall(canonical_text(text))
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    if not joined:
+def _batch_token_hashes(texts: list[str]) -> list[np.ndarray]:
+    """Per-doc uint64 token-hash arrays; one vectorized hash_array call
+    for the whole batch (pandas siphash, fixed key → deterministic
+    across workers)."""
+    toks_per_doc = [TOKEN_RE.findall(canonical_text(t or "")) for t in texts]
+    flat: list[str] = [t for toks in toks_per_doc for t in toks]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    out, pos = [], 0
+    for toks in toks_per_doc:
+        out.append(hashes[pos : pos + len(toks)])
+        pos += len(toks)
+    return out
+
+
+def _shingles_from_token_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """Unique hashed word-k-gram set (uint64, values < 2^32) via a
+    vectorized polynomial fold over the token-hash array."""
+    if h.size == 0:
         return np.empty(0, dtype=np.uint64)
-    hashes = {
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "little")
-        for s in joined
-    }
-    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+    if h.size < k:
+        k = h.size
+    n_out = h.size - k + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _FNV_PRIME ^ h[j : j + n_out]
+    return np.unique(acc & np.uint64(0xFFFFFFFF))
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashed word-k-gram shingle set for one text (uint32-range uint64)."""
+    return _shingles_from_token_hashes(_batch_token_hashes([text])[0], k)
 
 
 def minhash_signature(
@@ -66,14 +100,32 @@ def minhash_signature(
     """sig_i = min over shingles x of ((a_i x + b_i) mod p) mod 2^32."""
     if shingles.size == 0:
         return np.full(a.shape[0], _HASH_RANGE - 1, dtype=np.uint64)
-    # (num_perm, n_shingles) via broadcasting; python ints avoid overflow
-    prod = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE_P
+    with np.errstate(over="ignore"):
+        prod = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE_P
     return (prod % _HASH_RANGE).min(axis=1).astype(np.uint64)
 
 
+def _pack_u64(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<u8").tobytes()
+
+
+def _pack_u32(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr.astype("<u4")).tobytes()
+
+
+def _unpack_u64(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<u8")
+
+
+def _unpack_u32(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<u4")
+
+
 class MinHasher:
-    """Actor-pool batch UDF: adds ``minhash_sig`` (fixed-size uint64 list)
-    and optionally ``shingles`` (exact hashed shingle set) columns."""
+    """Actor-pool batch UDF: adds ``minhash_sig`` (packed little-endian
+    uint64 binary, fixed width = 8*num_perm) and optionally ``shingles``
+    (packed uint32 binary — joinable: Arrow hash joins reject list
+    columns, and binary halves the bytes vs list<uint64>)."""
 
     def __init__(
         self,
@@ -89,76 +141,99 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs, shingle_lists = [], []
-        for t in texts:
-            sh = _shingle_hashes(t or "", self.shingle_k)
-            sigs.append(minhash_signature(sh, self.a, self.b).tolist())
+        tok_hashes = _batch_token_hashes(texts)
+        sigs, shingle_bufs = [], []
+        for h in tok_hashes:
+            sh = _shingles_from_token_hashes(h, self.shingle_k)
+            sigs.append(_pack_u64(minhash_signature(sh, self.a, self.b)))
             if self.keep_shingles:
-                shingle_lists.append(np.sort(sh).tolist())
-        out = batch.append_column(
-            "minhash_sig", pa.array(sigs, type=pa.list_(pa.uint64()))
+                shingle_bufs.append(_pack_u32(sh))
+        out = batch.drop_columns(["text"]).append_column(
+            "minhash_sig", pa.array(sigs, type=pa.binary())
         )
         if self.keep_shingles:
-            out = out.append_column(
-                "shingles", pa.array(shingle_lists, type=pa.list_(pa.uint64()))
-            )
+            out = out.append_column("shingles", pa.array(shingle_bufs, pa.binary()))
         return out
 
 
+def _sig_matrix(col: pa.ChunkedArray, num_perm: int) -> np.ndarray:
+    bufs = col.to_pylist()
+    if not bufs:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(bufs), dtype="<u8").reshape(len(bufs), num_perm)
+
+
 def lsh_band_rows(
-    batch: pa.Table, bands: int, rows_per_band: int, id_col: str = "doc_id"
+    batch: pa.Table,
+    bands: int,
+    rows_per_band: int,
+    num_shards: int,
+    id_col: str = "doc_id",
 ) -> pa.Table:
-    """Explode each signature into (band_id, band_hash, id, sig[, shingles])
-    rows — the shuffle-ready LSH index entries."""
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column("minhash_sig").to_pylist()
-    has_sh = "shingles" in batch.column_names
-    shingles = batch.column("shingles").to_pylist() if has_sh else None
-    out_band, out_hash, out_id, out_sig, out_sh = [], [], [], [], []
-    for i, (doc, sig) in enumerate(zip(ids, sigs)):
-        for band in range(bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            h = hashlib.blake2b(
-                np.asarray(chunk, dtype=np.uint64).tobytes(), digest_size=8
-            ).hexdigest()
-            out_band.append(band)
-            out_hash.append(h)
-            out_id.append(doc)
-            out_sig.append(sig)
-            if has_sh:
-                out_sh.append(shingles[i])
-    cols = {
-        "band_id": pa.array(out_band, type=pa.int32()),
-        "band_hash": pa.array(out_hash, type=pa.string()),
-        id_col: pa.array(out_id),
-        "minhash_sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
-    }
-    if has_sh:
-        cols["shingles"] = pa.array(out_sh, type=pa.list_(pa.uint64()))
-    return pa.table(cols)
+    """Explode signatures into shuffle-minimal ``(shard, bucket, id)``
+    band rows. Band hash = vectorized FNV fold over the band's slice of
+    the signature matrix, mixed with the band index."""
+    n = batch.num_rows
+    num_perm = bands * rows_per_band
+    sig = _sig_matrix(batch.column("minhash_sig"), num_perm)
+    view = sig.reshape(n, bands, rows_per_band)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            h = (h ^ view[:, :, j]) * _FNV_PRIME
+        h = h ^ (np.arange(bands, dtype=np.uint64)[None, :] * _MIX_ODD)
+    flat = h.reshape(-1)  # row-major: doc i's `bands` rows are consecutive
+    ids = batch.column(id_col)
+    return pa.table(
+        {
+            "shard": pa.array((flat % np.uint64(num_shards)).astype(np.int32)),
+            "bucket": pa.array(flat.view(np.int64), type=pa.int64()),
+            id_col: ids.take(pa.array(np.repeat(np.arange(n), bands))),
+        }
+    )
 
 
-def _bucket_pairs(group: pd.DataFrame, threshold: float, exact: bool) -> pd.DataFrame:
-    """All candidate pairs inside one LSH bucket, Jaccard-verified
-    (signature-estimated, or exact when shingle sets are present)."""
-    rows = group.sort_values("doc_id").to_dict("records")
-    out = []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            a, b = rows[i], rows[j]
-            if a["doc_id"] == b["doc_id"]:
-                continue
-            if exact:
-                sa, sb = set(a["shingles"]), set(b["shingles"])
-                union = len(sa | sb)
-                jac = len(sa & sb) / union if union else 0.0
-            else:
-                sig_a = np.asarray(a["minhash_sig"])
-                sig_b = np.asarray(b["minhash_sig"])
-                jac = float((sig_a == sig_b).mean())
-            if jac >= threshold:
-                out.append({"doc_a": a["doc_id"], "doc_b": b["doc_id"], "jaccard": jac})
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+def _shard_candidate_pairs(
+    df: pd.DataFrame, max_bucket_size: int
+) -> pd.DataFrame:
+    """All (doc_a < doc_b) candidate pairs from buckets with ≥2 members
+    inside one coarse shard; vectorized bucket sizing, Python only over
+    the (few) colliding buckets."""
+    sizes = df.groupby("bucket")["doc_id"].transform("size")
+    dup = df[sizes > 1]
+    pairs: list[tuple] = []
+    for _, g in dup.groupby("bucket"):
+        ids = sorted(g["doc_id"].drop_duplicates().tolist())[:max_bucket_size]
+        pairs.extend(
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        )
+    out = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    return out.drop_duplicates()
+
+
+def _distinct_pairs(
+    pairs: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Global pair dedup via coarse pair-hash sharding + vectorized
+    in-shard ``drop_duplicates``. NOT ``groupby([doc_a, doc_b])`` — Ray's
+    sort aggregate pays per-group overhead on one group per pair
+    (measured ~28s for 10k pair-groups vs ~1s for 64 shards)."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False)
+        df = df.assign(_pair_shard=(h % num_shards).astype("int32"))
+        return df
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pair_shard"])
+
+    return (
+        pairs.map_batches(add_shard, batch_format="pandas")
+        .groupby("_pair_shard")
+        .map_groups(dedup_shard, batch_format="pandas")
+    )
 
 
 def minhash_lsh_pairs(
@@ -169,16 +244,22 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     exact_verify: bool = True,
     concurrency=(1, 8),
+    num_shards: int = 64,
+    join_partitions: int = 8,
+    max_bucket_size: int = 256,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) → near-duplicate pairs
-    (doc_a, doc_b, jaccard), deduplicated.
+    (doc_a, doc_b, jaccard), distinct, doc_a < doc_b.
 
-    shingle+minhash (map_batches, vectorized) → band explode → groupby
-    (band_id, band_hash) → in-bucket pairwise verify → pair dedup
-    (groupby doc_a/doc_b keep max jaccard).
+    shingle+minhash (vectorized map_batches) → band explode (only
+    ``(shard, bucket, doc_id)`` crosses the shuffle) → coarse-shard
+    groupby → in-shard vectorized pair-gen → distinct via aggregate →
+    hash-join packed sigs/shingles back on both sides → vectorized
+    verify. ``jaccard`` is exact (true shingle-set overlap) when
+    ``exact_verify`` else the signature estimate.
     """
     rows_per_band = num_perm // bands
-    sigs = docs.map_batches(
+    feats = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": num_perm,
@@ -189,18 +270,79 @@ def minhash_lsh_pairs(
         batch_size=256,
         concurrency=concurrency,
     )
-    band_rows = sigs.map_batches(
-        lambda b: lsh_band_rows(b, bands, rows_per_band),
+    # consumed 3× (band rows + both join sides): materialize the compact
+    # signature table once instead of re-hashing the corpus per consumer
+    # (~1KB/doc; the object store spills if it outgrows memory).
+    feats = feats.materialize()
+
+    band_rows = feats.map_batches(
+        lambda b: lsh_band_rows(b, bands, rows_per_band, num_shards),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold, exact_verify),
+    cands = band_rows.groupby("shard").map_groups(
+        lambda g: _shard_candidate_pairs(g, max_bucket_size),
         batch_format="pandas",
     )
-    # a pair can surface from several bands → dedupe
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    distinct = _distinct_pairs(cands)
+
+    cols = ["doc_id", "minhash_sig"] + (["shingles"] if exact_verify else [])
+    side = feats.select_columns(cols)
+    j1 = distinct.join(
+        side,
+        "inner",
+        num_partitions=join_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+        left_suffix="_l",
+        right_suffix="_a",
     )
+    j2 = j1.join(
+        side,
+        "inner",
+        num_partitions=join_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], batch.schema.field("doc_a").type),
+                    "doc_b": pa.array([], batch.schema.field("doc_b").type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        names = batch.column_names
+        sig_a_name = "minhash_sig_a" if "minhash_sig_a" in names else "minhash_sig"
+        if exact_verify:
+            sa = batch.column(
+                "shingles_a" if "shingles_a" in names else "shingles"
+            ).to_pylist()
+            sb = batch.column("shingles_b").to_pylist()
+            jac = np.empty(m, dtype=np.float64)
+            for i in range(m):
+                A, B = _unpack_u32(sa[i]), _unpack_u32(sb[i])
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                union = A.size + B.size - inter
+                jac[i] = inter / union if union else 0.0
+        else:
+            A = _sig_matrix(batch.column(sig_a_name), num_perm)
+            B = _sig_matrix(batch.column("minhash_sig_b"), num_perm)
+            jac = (A == B).mean(axis=1)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def exact_dedup(
@@ -229,8 +371,6 @@ def exact_dedup(
             }
         )
 
-    from ray.data.aggregate import Min
-
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
     out = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
     return out.map_batches(
@@ -240,87 +380,129 @@ def exact_dedup(
 
 # --- SimHash ----------------------------------------------------------------
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _simhash_from_token_hashes(h: np.ndarray) -> int:
+    """Charikar SimHash from a doc's token-hash array (unique features)."""
+    if h.size == 0:
+        return 0
+    u = np.unique(h)
+    bits = ((u[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    code = np.uint64(0)
+    with np.errstate(over="ignore"):
+        code = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64)
+    return int(code)
+
 
 def simhash64(text: str) -> int:
     """Charikar-style 64-bit SimHash over word features."""
-    tokens = TOKEN_RE.findall(canonical_text(text))
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in set(tokens):
-        h = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-            )
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    result = 0
-    for i in range(64):
-        if acc[i] > 0:
-            result |= 1 << i
-    return result
+    return _simhash_from_token_hashes(_batch_token_hashes([text])[0])
 
 
 def add_simhash(batch: pa.Table) -> pa.Table:
-    vals = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+    tok = _batch_token_hashes(batch.column("text").to_pylist())
+    vals = [_simhash_from_token_hashes(h) for h in tok]
     return batch.append_column("simhash", pa.array(vals, type=pa.uint64()))
 
 
 def simhash_pairs(
     docs: ray.data.Dataset,
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
+    num_shards: int = 64,
+    max_bucket_size: int = 4096,
 ) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash: pigeonhole on 16-bit chunks (a pair
-    within Hamming distance < chunks must agree on ≥1 chunk), then exact
-    Hamming verify inside the bucket."""
+    """Near-dup pairs by SimHash: pigeonhole on 64/chunks-bit chunks (a
+    pair within Hamming distance ≤ chunks-1 must agree on ≥1 chunk —
+    hence the default ``chunks = max_hamming + 1`` for full recall), then
+    exact Hamming verify inside the bucket (Manku et al. WWW'07).
+
+    The 8-byte simhash rides the shuffle inline (cheaper than a join-back
+    at any scale), under the same coarse-shard groupby as MinHash-LSH.
+    """
+    if chunks is None:
+        chunks = min(max_hamming + 1, 16)
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sims = batch.column("simhash").to_pylist()
-        out_c, out_v, out_id, out_s = [], [], [], []
-        width = 64 // chunks
-        mask = (1 << width) - 1
-        for doc, s in zip(ids, sims):
-            for c in range(chunks):
-                out_c.append(c)
-                out_v.append((s >> (c * width)) & mask)
-                out_id.append(doc)
-                out_s.append(s)
+        n = batch.num_rows
+        sims = np.asarray(batch.column("simhash").to_numpy(zero_copy_only=False))
+        ids = batch.column("doc_id")
+        chunk_ids = np.tile(np.arange(chunks, dtype=np.uint64), n)
+        rep_sims = np.repeat(sims, chunks)
+        with np.errstate(over="ignore"):
+            vals = (rep_sims >> (chunk_ids * np.uint64(width))) & mask
+            bucket = vals ^ (chunk_ids * _MIX_ODD)
+        take_idx = pa.array(np.repeat(np.arange(n), chunks))
         return pa.table(
             {
-                "chunk_id": pa.array(out_c, type=pa.int32()),
-                "chunk_val": pa.array(out_v, type=pa.uint64()),
-                "doc_id": pa.array(out_id),
-                "simhash": pa.array(out_s, type=pa.uint64()),
+                "shard": pa.array((bucket % np.uint64(num_shards)).astype(np.int32)),
+                "bucket": pa.array(bucket.view(np.int64), type=pa.int64()),
+                "chunk_id": pa.array(chunk_ids.astype(np.int8)),
+                "doc_id": ids.take(take_idx),
+                "simhash": pa.array(rep_sims, type=pa.uint64()),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values("doc_id").to_dict("records")
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a, b = rows[i], rows[j]
-                if a["doc_id"] == b["doc_id"]:
-                    continue
-                dist = bin(int(a["simhash"]) ^ int(b["simhash"])).count("1")
-                if dist <= max_hamming:
-                    out.append(
-                        {"doc_a": a["doc_id"], "doc_b": b["doc_id"], "hamming": dist}
+    chunk_shifts = (np.arange(chunks, dtype=np.uint64) * np.uint64(width))[None, :]
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Verified pairs from this shard's buckets. Each global pair is
+        emitted exactly once — by the LOWEST chunk index on which the two
+        hashes agree — so no global dedup shuffle is needed."""
+        sizes = df.groupby("bucket")["doc_id"].transform("size")
+        dup = df[sizes > 1]
+        frames = []
+        for _, g in dup.groupby("bucket"):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            g = g.iloc[:max_bucket_size]
+            ids = g["doc_id"].to_numpy()
+            sh = g["simhash"].to_numpy(dtype=np.uint64)
+            chunk = int(g["chunk_id"].iloc[0])
+            b = len(ids)
+            # vectorized pairwise Hamming: byte-view XOR + popcount LUT
+            xor = sh[:, None] ^ sh[None, :]
+            x = xor.view(np.uint8).reshape(b, b, 8)
+            d = _POP8[x].sum(axis=2, dtype=np.int64)
+            ai, bj = np.triu_indices(b, 1)
+            ok = d[ai, bj] <= max_hamming
+            if not ok.any():
+                continue
+            ai, bj = ai[ok], bj[ok]
+            # first agreeing chunk == this bucket's chunk?
+            with np.errstate(over="ignore"):
+                agree = ((xor[ai, bj][:, None] >> chunk_shifts) & mask) == 0
+            first = np.argmax(agree, axis=1)
+            keep = first == chunk
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ai[keep]],
+                            "doc_b": ids[bj[keep]],
+                            "hamming": d[ai[keep], bj[keep]],
+                        }
                     )
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=df["doc_id"].dtype),
+                    "doc_b": pd.Series([], dtype=df["doc_id"].dtype),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames)
 
     hashed = docs.map_batches(add_simhash, batch_format="pyarrow")
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return exploded.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(
