@@ -409,6 +409,311 @@ def q_extract_kind_stats(sf_dir: str):
     return out.sort_values("kind").reset_index(drop=True)
 
 
+# --- windowed / join / session analytics ------------------------------------
+
+
+def q_top_orders_per_nation(sf_dir: str):
+    """Per-group top-N (window function shape): 3 priciest orders per
+    nation. Dimension lookups broadcast; the top-N runs per nation group
+    (25 groups — group count is the dimension's cardinality, so
+    ``map_groups`` per-group overhead is bounded)."""
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    c2n = dict(
+        zip(
+            customer.column("c_custkey").to_pylist(),
+            customer.column("c_nationkey").to_pylist(),
+        )
+    )
+    n2name = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    lookup_ref = ray.put((c2n, n2name))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cc, nn = ray.get(lookup_ref)
+        names = [nn[cc[k]] for k in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = (
+        orders.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .map_groups(topn, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_totalprice"] = round_sql(out["o_totalprice"], 2)
+    return out.sort_values(["n_name", "o_orderkey"]).reset_index(drop=True)
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (the reference's --append / curation skip shape,
+    SURVEY.md J7/J8): customers with no 1998 orders, via distinct recent
+    custkeys → left_outer hash join → null filter."""
+    from ray.data.aggregate import Count as _Count
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(
+                b.column("o_orderdate"), pa.scalar(pd.Timestamp("1998-01-01"))
+            )
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    ordered = recent.groupby("o_custkey").aggregate(_Count(alias_name="n_ord"))
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = customer.join(
+        ordered,
+        "left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def only_unmatched(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch.column("n_ord"))
+        return batch.filter(keep).select(["c_custkey", "c_mktsegment"])
+
+    out = joined.map_batches(only_unmatched, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = out.reindex(columns=["c_custkey", "c_mktsegment"])
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_revenue_by_brand(sf_dir: str):
+    """Fact ⨝ small dimension via broadcast (ray.put once, probed per
+    batch) + combiner pre-aggregation before the tiny final groupby."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    brand_ref = ray.put(brand_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(brand_ref)
+        df = batch.to_pandas()
+        df["p_brand"] = df["l_partkey"].map(lookup)
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("p_brand", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("p_brand")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = round_sql(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) — the streaming-window
+    operator as partitioned batch: coarse shard on user hash → in-shard
+    vectorized gap/cumsum (no per-user groups cross the shuffle)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    num_shards = 32
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((uid % num_shards).astype(np.int32))
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        prev = g.groupby("user_id")["ts"].shift()
+        new_session = prev.isna() | ((g["ts"] - prev) > pd.Timedelta(minutes=30))
+        g = g.assign(session_id=new_session.groupby(g["user_id"]).cumsum().astype("int64"))
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        return out
+
+    out = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+# --- merge / stats / filenorm / multimodal / lineage (rows-only) ------------
+
+
+def q_merge_cells(sf_dir: str):
+    """Multi-run merge with agreement scoring (SURVEY.md §3.2): synthetic
+    resultsets → groupby(doc_id) cursor-merge. Rows-only: the cells model
+    (dynamic per-row columns + agreement lists) is not SQL-shaped; its
+    correctness gate is tests/test_merge_pipeline.py's doc-local equality."""
+    from ..schema import table_to_row_records
+    from ..sources.resultsets import synth_resultsets_dataset
+    from .merge import MergeConfig, merge_pipeline
+
+    cells = synth_resultsets_dataset(sf_dir)
+    merged = merge_pipeline(cells, MergeConfig(column_agreement=True))
+
+    def flatten(batch: pa.Table) -> pd.DataFrame:
+        recs = table_to_row_records(batch)
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": r["doc_id"],
+                    "table_idx": r["table_idx"],
+                    "fragment_idx": r["fragment_idx"],
+                    "page": r["page"],
+                    "row_idx": r["row_idx"],
+                    "agreement_level": r["agreement_level"] or 0,
+                    "sources": ",".join(r["sources"] or ()),
+                    "cells": repr(sorted(r["cells"].items())),
+                }
+                for r in recs
+            ]
+        )
+
+    out = merged.map_batches(flatten, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["doc_id", "table_idx", "fragment_idx", "row_idx"]
+    ).reset_index(drop=True)
+
+
+def q_paper_stats(sf_dir: str):
+    """Per-paper stats rows (tablestats G4) over the synthetic resultsets."""
+    from ..sources.resultsets import synth_resultsets_dataset
+    from ..stages.stats import paper_stats_dataset
+
+    out = paper_stats_dataset(synth_resultsets_dataset(sf_dir)).to_pandas()
+    return out.sort_values(["doc_id", "source_uuid"]).reset_index(drop=True)
+
+
+def q_global_stats(sf_dir: str):
+    """Global corpus stats (tablestats G5) as a one-row frame."""
+    from ..sources.resultsets import synth_resultsets_dataset
+    from ..stages.stats import global_stats, paper_stats_dataset
+
+    stats = global_stats(paper_stats_dataset(synth_resultsets_dataset(sf_dir)))
+    stats["global_agreement_percentage"] = round(
+        stats["global_agreement_percentage"] or 0.0, 4
+    )
+    stats["global_shared_values_percentage"] = round(
+        stats["global_shared_values_percentage"] or 0.0, 4
+    )
+    return pd.DataFrame([stats])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool stage over extracted media spans (decode
+    stubbed deterministically; Ray plumbing real)."""
+    from ..stages.multimodal import media_feature_pipeline
+    from .extract import extract_pipeline
+
+    feats = media_feature_pipeline(extract_pipeline(sf_dir))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        import numpy as _np
+
+        feat_sums = [
+            round(float(_np.sum(f)), 4) for f in batch.column("feature").to_pylist()
+        ]
+        return pd.DataFrame(
+            {
+                "media_ref": batch.column("media_ref").to_pylist(),
+                "width": batch.column("width").to_pylist(),
+                "height": batch.column("height").to_pylist(),
+                "feat_sum": feat_sums,
+            }
+        )
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
+def q_filenorm_plan(sf_dir: str):
+    """filenorm dedup/rename plan (SURVEY.md O6) over synthetic
+    (path, md5) rows derived from the documents table — the distributed
+    hash runs in Ray; the sequential keep/rename fold is driver-side by
+    design (matches the reference's one-pass semantics)."""
+    from ..stages.filenorm import plan_actions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        import hashlib as h
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "path": pa.array(
+                    [f"papers/Paper {i:06d}.TXT" for i in ids], type=pa.string()
+                ),
+                "content_md5": pa.array(
+                    [h.md5((t or "").encode()).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow").to_pandas()
+    hashed = hashed.sort_values("doc_id")  # deterministic input order
+    duplicates, renames, _ = plan_actions(
+        list(zip(hashed["path"], hashed["content_md5"]))
+    )
+    actions = [
+        {"action": "drop", "path": p, "target": md5}
+        for md5, paths in sorted(duplicates.items())
+        for p in paths
+    ] + [
+        {"action": "rename", "path": p, "target": new}
+        for p, new in sorted(renames.items())
+    ]
+    return pd.DataFrame(actions, columns=["action", "path", "target"])
+
+
+def q_lineage_resume(sf_dir: str):
+    """Checkpointed partitioned write + per-partition lineage (north rule):
+    runs the flagship extraction into a fresh scratch dir, returns the
+    lineage manifest (minus wall-clock)."""
+    import shutil
+    import tempfile
+
+    from ..state.lineage import resumable_extract
+
+    out_dir = tempfile.mkdtemp(prefix="p2t_lineage_", dir="/tmp")
+    try:
+        summary = resumable_extract(sf_dir, out_dir, num_partitions=16)
+        summary = summary.drop(columns=["wall_ms"])
+        return summary.sort_values("partition_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -431,6 +736,16 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "extract_spans": q_extract_spans,
     "extract_kind_stats": q_extract_kind_stats,
+    "top_orders_per_nation": q_top_orders_per_nation,
+    "customers_no_orders": q_customers_no_orders,
+    "revenue_by_brand": q_revenue_by_brand,
+    "user_sessions": q_user_sessions,
+    "merge_cells": q_merge_cells,
+    "paper_stats": q_paper_stats,
+    "global_stats": q_global_stats,
+    "media_features": q_media_features,
+    "filenorm_plan": q_filenorm_plan,
+    "lineage_resume": q_lineage_resume,
 }
 
 ORACLE_SQL = {
@@ -530,5 +845,60 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "top_orders_per_nation": """
+        SELECT n_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+            SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rn
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rn <= 3
+        ORDER BY n_name, o_orderkey
+    """,
+    "customers_no_orders": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    "revenue_by_brand": """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+    "user_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               min(ts) AS session_start, count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
 }
