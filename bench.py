@@ -32,7 +32,11 @@ BENCH_QUERIES = [
     "doc_features",
     "exact_dedup",
     "minhash_pairs",
+    "simhash_pairs",
     "knn_cosine",
+    "revenue_by_brand",
+    "user_sessions",
+    "merge_cells",
 ]
 
 

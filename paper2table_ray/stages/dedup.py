@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     num_shards: int = 64,
     join_partitions: int = 8,
     max_bucket_size: int = 256,
+    broadcast_pair_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) → near-duplicate pairs
     (doc_a, doc_b, jaccard), distinct, doc_a < doc_b.
@@ -283,8 +284,84 @@ def minhash_lsh_pairs(
         lambda g: _shard_candidate_pairs(g, max_bucket_size),
         batch_format="pandas",
     )
-    distinct = _distinct_pairs(cands)
+    distinct = _distinct_pairs(cands).materialize()
 
+    def verify_with_lookup(batch: pa.Table, feat_map: dict) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], batch.schema.field("doc_a").type),
+                    "doc_b": pa.array([], batch.schema.field("doc_b").type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        das = batch.column("doc_a").to_pylist()
+        dbs = batch.column("doc_b").to_pylist()
+        jac = np.empty(m, dtype=np.float64)
+        for i, (a, b) in enumerate(zip(das, dbs)):
+            fa, fb = feat_map[a], feat_map[b]
+            if exact_verify:
+                A, B = _unpack_u32(fa[1]), _unpack_u32(fb[1])
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                union = A.size + B.size - inter
+                jac[i] = inter / union if union else 0.0
+            else:
+                jac[i] = float(
+                    (_unpack_u64(fa[0]) == _unpack_u64(fb[0])).mean()
+                )
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    n_pairs = distinct.count()
+    if n_pairs == 0:
+        try:
+            id_type = distinct.schema().base_schema.field("doc_a").type
+        except Exception:
+            id_type = pa.string()
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+
+    if n_pairs <= broadcast_pair_limit:
+        # Candidate features are O(pairs) — ship them ONCE via ray.put and
+        # probe per batch, instead of two Dataset.joins (each join costs
+        # ~10s+ of fixed aggregator setup; measured 25s for 256 pairs).
+        pdf = distinct.to_pandas()
+        cand_ids = set(pdf["doc_a"]) | set(pdf["doc_b"])
+        ids_ref = ray.put(cand_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            mask = pa.array(
+                [d in wanted for d in batch.column("doc_id").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        fdf = feats.map_batches(pick, batch_format="pyarrow").to_pandas()
+        feat_map = {
+            r["doc_id"]: (r["minhash_sig"], r.get("shingles"))
+            for _, r in fdf.iterrows()
+        }
+        feat_ref = ray.put(feat_map)
+        return distinct.map_batches(
+            lambda b: verify_with_lookup(b, ray.get(feat_ref)),
+            batch_format="pyarrow",
+        )
+
+    # scale fallback: too many candidates to broadcast → hash-join the
+    # packed feature table back on both pair sides.
     cols = ["doc_id", "minhash_sig"] + (["shingles"] if exact_verify else [])
     side = feats.select_columns(cols)
     j1 = distinct.join(
@@ -306,7 +383,7 @@ def minhash_lsh_pairs(
         right_suffix="_b",
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_joined(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
         if m == 0:
             return pa.table(
@@ -342,7 +419,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def exact_dedup(
@@ -453,7 +530,12 @@ def simhash_pairs(
     def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Verified pairs from this shard's buckets. Each global pair is
         emitted exactly once — by the LOWEST chunk index on which the two
-        hashes agree — so no global dedup shuffle is needed."""
+        hashes agree — so no global dedup shuffle is needed.
+
+        Members with IDENTICAL simhash collapse to one representative
+        before the pairwise matrix (template corpora produce huge
+        equal-hash clusters; cluster pairs expand combinatorially at emit
+        time instead of paying U²→B² popcount work)."""
         sizes = df.groupby("bucket")["doc_id"].transform("size")
         dup = df[sizes > 1]
         frames = []
@@ -462,31 +544,74 @@ def simhash_pairs(
             if len(g) < 2:
                 continue
             g = g.iloc[:max_bucket_size]
-            ids = g["doc_id"].to_numpy()
-            sh = g["simhash"].to_numpy(dtype=np.uint64)
             chunk = int(g["chunk_id"].iloc[0])
-            b = len(ids)
-            # vectorized pairwise Hamming: byte-view XOR + popcount LUT
-            xor = sh[:, None] ^ sh[None, :]
-            x = xor.view(np.uint8).reshape(b, b, 8)
+            # collapse identical hashes: rep index → member doc-id array
+            groups = {
+                np.uint64(h): sub["doc_id"].to_numpy()
+                for h, sub in g.groupby("simhash", sort=True)
+            }
+            uh = np.fromiter(groups.keys(), dtype=np.uint64, count=len(groups))
+            members = list(groups.values())
+            u = len(uh)
+            # identical-hash pairs: hamming 0 ⇒ first agreeing chunk is 0
+            if chunk == 0:
+                for ids in members:
+                    b = len(ids)
+                    if b > 1:
+                        ai, bj = np.triu_indices(b, 1)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "doc_a": ids[ai],
+                                    "doc_b": ids[bj],
+                                    "hamming": np.zeros(len(ai), dtype=np.int64),
+                                }
+                            )
+                        )
+            if u < 2:
+                continue
+            # cross-representative pairs: vectorized Hamming on U×U
+            xor = uh[:, None] ^ uh[None, :]
+            x = xor.view(np.uint8).reshape(u, u, 8)
             d = _POP8[x].sum(axis=2, dtype=np.int64)
-            ai, bj = np.triu_indices(b, 1)
+            ai, bj = np.triu_indices(u, 1)
             ok = d[ai, bj] <= max_hamming
             if not ok.any():
                 continue
             ai, bj = ai[ok], bj[ok]
-            # first agreeing chunk == this bucket's chunk?
             with np.errstate(over="ignore"):
                 agree = ((xor[ai, bj][:, None] >> chunk_shifts) & mask) == 0
-            first = np.argmax(agree, axis=1)
-            keep = first == chunk
-            if keep.any():
+            keep = np.argmax(agree, axis=1) == chunk
+            ai, bj = ai[keep], bj[keep]
+            if ai.size == 0:
+                continue
+            # bulk path: singleton×singleton rep pairs (the common case)
+            gsize = np.fromiter((len(m) for m in members), dtype=np.int64, count=u)
+            single = (gsize[ai] == 1) & (gsize[bj] == 1)
+            if single.any():
+                rep0 = np.array([m[0] for m in members])
+                la, lb = rep0[ai[single]], rep0[bj[single]]
+                swap = la > lb
                 frames.append(
                     pd.DataFrame(
                         {
-                            "doc_a": ids[ai[keep]],
-                            "doc_b": ids[bj[keep]],
-                            "hamming": d[ai[keep], bj[keep]],
+                            "doc_a": np.where(swap, lb, la),
+                            "doc_b": np.where(swap, la, lb),
+                            "hamming": d[ai[single], bj[single]],
+                        }
+                    )
+                )
+            for i, j in zip(ai[~single], bj[~single]):
+                ga, gb = members[i], members[j]
+                la = np.repeat(ga, len(gb))
+                lb = np.tile(gb, len(ga))
+                swap = la > lb
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.where(swap, lb, la),
+                            "doc_b": np.where(swap, la, lb),
+                            "hamming": np.full(la.size, d[i, j], dtype=np.int64),
                         }
                     )
                 )
