@@ -77,11 +77,9 @@ def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
                         )
         return pd.DataFrame(out)
 
-    return (
-        cells.groupby("doc_id")
-        .map_groups(per_doc, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from ..stages.shuffle import groupby_apply
+
+    return groupby_apply(cells, "doc_id", per_doc).to_pandas()
 
 
 def write_csvs(cells: ray.data.Dataset, output_dir: str) -> List[str]:
@@ -146,12 +144,9 @@ def cells_to_html(cells: ray.data.Dataset, title: str = "tables") -> str:
                 parts.append("</table>")
         return pd.DataFrame({"doc_id": [doc_id], "html": ["".join(parts)]})
 
-    pieces = (
-        cells.groupby("doc_id")
-        .map_groups(per_doc, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+    from ..stages.shuffle import groupby_apply
+
+    pieces = groupby_apply(cells, "doc_id", per_doc).to_pandas().sort_values("doc_id")
     body = "".join(pieces["html"])
     return (
         f"<!doctype html><html><head><meta charset='utf-8'>"

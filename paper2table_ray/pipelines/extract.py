@@ -113,6 +113,195 @@ def extract_pipeline(
     return spans
 
 
+def plan_mappings(
+    docs: ray.data.Dataset,
+    cache_dir: Optional[str] = None,
+) -> dict:
+    """Hybrid-reader analogue (SURVEY.md S6, readers/hybrid.py:68-108):
+    an expensive planner produces a per-doc ``TablesMapping`` ONCE, cached
+    as ``<doc_id>.mapping.json``, and deterministic extraction then uses
+    it. The reference's LLM planner is stubbed with a deterministic one
+    (first table's header row → ordinal→name map) so fixtures reproduce;
+    the cache check / write flow is real.
+
+    Returns ``{doc_id: mapping}`` for broadcast into ``SpanExtractor``
+    (``ray.put`` once — a broadcast hash join on doc_id, J6)."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from ..functions.text import normalize_column_name
+    from ..stages.extract import CELL_SEP
+
+    cached: dict = {}
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        for name in os.listdir(cache_dir):
+            if name.endswith(".mapping.json"):
+                doc_id = name.removesuffix(".mapping.json")
+                cached[doc_id] = json.load(open(os.path.join(cache_dir, name)))
+
+    def plan_batch(batch: pa.Table) -> pa.Table:
+        out_ids, out_maps = [], []
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            if doc_id in cached:
+                continue  # cache hit → planner not invoked (hybrid.py:77-82)
+            header = next(
+                (
+                    s["text"]
+                    for s in sorted(spans or [], key=lambda s: s["offset"])
+                    if s["kind"] == "table_row"
+                ),
+                None,
+            )
+            if header is None:
+                continue
+            cells = header.split(CELL_SEP)
+            mapping = {
+                "header_mode": "all_pages",
+                "column_mappings": {
+                    str(i): normalize_column_name(c) or f"col_{i}"
+                    for i, c in enumerate(cells)
+                },
+            }
+            out_ids.append(doc_id)
+            out_maps.append(json.dumps(mapping))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "mapping_json": pa.array(out_maps, pa.string()),
+            }
+        )
+
+    fresh = docs.map_batches(plan_batch, batch_format="pyarrow").to_pandas()
+    result = dict(cached)
+    for _, row in fresh.iterrows():
+        mapping = json.loads(row["mapping_json"])
+        result[row["doc_id"]] = mapping
+        if cache_dir:
+            path = os.path.join(cache_dir, f"{row['doc_id']}.mapping.json")
+            tmp = path + ".tmp"
+            json.dump(mapping, open(tmp, "w"))
+            os.replace(tmp, path)
+    return result
+
+
+def extract_spans_mapped(
+    docs: ray.data.Dataset,
+    mappings: dict,
+    config: Optional[ExtractConfig] = None,
+    batch_size: int = 32,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Mapped (hybrid) extraction: the mappings dict ships to the actor
+    pool via ``ray.put`` once, resolved per actor in ``__init__``."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, cpus))
+    return docs.map_batches(
+        SpanExtractor,
+        fn_constructor_kwargs={
+            "config": config or ExtractConfig(),
+            "mappings": ray.put(mappings),
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+_WIN_SEP = "\x00win\x00"
+
+
+def extract_spans_windowed(
+    docs: ray.data.Dataset,
+    config: Optional[ExtractConfig] = None,
+    window_spans: int = 256,
+    batch_size: int = 32,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """split_pages analogue (SURVEY.md S7, readers/split_pages.py:87-138):
+    fan each doc out into span windows, extract windows independently,
+    reassemble per doc in window order with span indices re-stamped.
+
+    Windows only close OUTSIDE a ``table_row`` run, so the reassembled
+    sequence is bit-identical to unwindowed extraction (the reference's
+    page-batch splits can cut tables at batch boundaries; deferring the
+    cut until the run closes removes that artifact). One giant doc no
+    longer serializes one actor — its windows extract in parallel — which
+    is the long-doc skew remedy the north rule asks for."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_ids, out_spans = [], []
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            ordered = sorted(spans or [], key=lambda s: s["offset"])
+            win, win_idx = [], 0
+            for span in ordered:
+                win.append(span)
+                if len(win) >= window_spans and span["kind"] != "table_row":
+                    out_ids.append(f"{doc_id}{_WIN_SEP}{win_idx:06d}")
+                    out_spans.append(win)
+                    win, win_idx = [], win_idx + 1
+            if win or win_idx == 0:
+                out_ids.append(f"{doc_id}{_WIN_SEP}{win_idx:06d}")
+                out_spans.append(win)
+        from ..schema import DOC_SCHEMA, SPAN_STRUCT
+
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
+            }
+        )
+
+    sub_spans = extract_spans(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        config=config,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def restamp(group: pa.Table) -> pa.Table:
+        # group = one original doc; rows arrive sorted by (sub_doc_id,
+        # span_idx) from groupby_apply's sort — zero-padded window index
+        # makes that the correct global order.
+        sub = group.column("doc_id").to_pylist()
+        doc_id = sub[0].split(_WIN_SEP, 1)[0]
+        n = group.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id] * n, pa.string()),
+                "span_idx": pa.array(range(n), pa.int32()),
+                "kind": group.column("kind"),
+                "text": group.column("text"),
+                "media_ref": group.column("media_ref"),
+            }
+        )
+
+    from ..stages.shuffle import groupby_apply
+
+    def add_base(batch: pa.Table) -> pa.Table:
+        base = [s.split(_WIN_SEP, 1)[0] for s in batch.column("doc_id").to_pylist()]
+        return batch.append_column("base_doc", pa.array(base, pa.string()))
+
+    stamped = sub_spans.map_batches(add_base, batch_format="pyarrow")
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        ordered = group.sort_by([("doc_id", "ascending"), ("span_idx", "ascending")])
+        return restamp(ordered.drop_columns(["base_doc"]))
+
+    return groupby_apply(stamped, "base_doc", per_doc, batch_format="pyarrow")
+
+
 def spans_kind_stats(spans: ray.data.Dataset) -> ray.data.Dataset:
     """Tiny sanity aggregate: span counts by kind (pre-aggregated inside
     map_batches before the small groupby — the partial-agg pattern)."""

@@ -152,7 +152,11 @@ def merge_pipeline(
     cells: ray.data.Dataset, config: Optional[MergeConfig] = None
 ) -> ray.data.Dataset:
     """cells Dataset (CELLS_SCHEMA, multiple source_uuids) → merged cells
-    Dataset. One shuffle: groupby(doc_id)."""
+    Dataset. One shuffle, keyed on hash(doc_id) % num_shards — per-doc
+    groups are recovered inside each shard task (stages/shuffle.py), so
+    scheduler overhead is O(shards), not O(docs)."""
+    from ..stages.shuffle import groupby_apply
+
     cfg = config or MergeConfig()
 
     def merge_group(group: pa.Table) -> pa.Table:
@@ -162,4 +166,4 @@ def merge_pipeline(
             return CELLS_SCHEMA.empty_table()
         return rows_to_table(out)
 
-    return cells.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")
+    return groupby_apply(cells, "doc_id", merge_group, batch_format="pyarrow")

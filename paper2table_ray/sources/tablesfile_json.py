@@ -311,8 +311,6 @@ def write_resultset(
         os.replace(tmp, path)
         return pd.DataFrame({"doc_id": [doc_id], "status": ["written"]})
 
-    return (
-        cells.groupby("doc_id")
-        .map_groups(write_doc, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from ..stages.shuffle import groupby_apply
+
+    return groupby_apply(cells, "doc_id", write_doc).to_pandas()

@@ -76,14 +76,38 @@ class ExtractConfig:
     filter_empty_rows: bool = True
     min_text_len: int = 25
     max_link_density: float = 0.35
+    quarantine: bool = True  # per-doc failures → ("error", msg, "") span
 
 
 class SpanExtractor:
     """Actor-pool batch UDF: docs batch (DOC_SCHEMA) → spans batch
-    (SPANS_OUT_SCHEMA)."""
+    (SPANS_OUT_SCHEMA).
 
-    def __init__(self, config: Optional[ExtractConfig] = None):
+    ``mappings``: optional ``{doc_id: mapping}`` side dict (or a Ray
+    ObjectRef to one — resolved ONCE per actor here in ``__init__``, the
+    broadcast-join pattern, SURVEY.md J6/ST6). A mapping mirrors the
+    reference's LLM-produced ``TablesMapping`` (mapping.py:19-43):
+    ``{"column_mappings": {ordinal(str|int): name}, "header_mode":
+    "all_pages" | "first_page_only" | "none"}`` — mapped extraction
+    selects cells by ordinal, renames them, and drops header rows per
+    header_mode (document.py:77-123 mapped path).
+
+    ``quarantine``: per-doc failures become one ``("error", message, "")``
+    span instead of failing the task — semantic failures are data
+    (SURVEY.md §4 stragglers row; reference analogue: warn-continue +
+    partial writes, __main__.py:428-440)."""
+
+    def __init__(
+        self,
+        config: Optional[ExtractConfig] = None,
+        mappings=None,
+    ):
         self.config = config or ExtractConfig()
+        if mappings is not None and not isinstance(mappings, dict):
+            import ray as _ray
+
+            mappings = _ray.get(mappings)
+        self.mappings = mappings or {}
         self.hints_set = frozenset(self.config.hints)
         self.stripper = BoilerplateStripper(
             min_text_len=self.config.min_text_len,
@@ -102,15 +126,19 @@ class SpanExtractor:
 
     # -- per-doc logic ------------------------------------------------------
 
-    def extract_doc(self, spans: List[dict]) -> List[Tuple[str, str, str]]:
+    def extract_doc(
+        self, spans: List[dict], mapping: Optional[dict] = None
+    ) -> List[Tuple[str, str, str]]:
         """One doc's input spans (offset order) → ordered (kind, text,
         media_ref) output sequence."""
         out: List[Tuple[str, str, str]] = []
         table_run: List[str] = []
+        table_no = [0]  # fragment counter (for first_page_only header mode)
 
         def flush_table():
             if table_run:
-                out.extend(self._extract_table(table_run))
+                out.extend(self._extract_table(table_run, mapping, table_no[0]))
+                table_no[0] += 1
                 table_run.clear()
 
         for span in sorted(spans, key=lambda s: s["offset"]):
@@ -134,20 +162,42 @@ class SpanExtractor:
         flush_table()
         return out
 
-    def _extract_table(self, raw_rows: List[str]) -> List[Tuple[str, str, str]]:
+    def _extract_table(
+        self,
+        raw_rows: List[str],
+        mapping: Optional[dict] = None,
+        table_no: int = 0,
+    ) -> List[Tuple[str, str, str]]:
         grids = [r.split(CELL_SEP) for r in raw_rows]
         width = max(len(g) for g in grids)
         grids = [g + [""] * (width - len(g)) for g in grids]
 
-        # header promotion (readers/utils.py:5-10 + read_table header path):
-        # first row is a header iff any of its cells normalizes to a hint.
-        columns = [str(i) for i in range(width)]
-        body = grids
-        if grids and any(
-            normalize_column_name(cell) in self.hints_set for cell in grids[0]
-        ):
-            columns = [normalize_column_name(cell) for cell in grids[0]]
-            body = grids[1:]
+        if mapping:
+            # mapped path (document.py:77-123): drop header per header_mode,
+            # then select by ordinal + rename.
+            header_mode = mapping.get("header_mode", "all_pages")
+            body = grids
+            if body and (
+                header_mode == "all_pages"
+                or (header_mode == "first_page_only" and table_no == 0)
+            ):
+                body = body[1:]
+            cm = {int(k): v for k, v in mapping.get("column_mappings", {}).items()}
+            ordinals = sorted(cm)
+            columns = [normalize_column_name(cm[o]) for o in ordinals]
+            body = [
+                [row[o] if o < len(row) else "" for o in ordinals] for row in body
+            ]
+        else:
+            # header promotion (readers/utils.py:5-10 + read_table header
+            # path): first row is a header iff any cell normalizes to a hint.
+            columns = [str(i) for i in range(width)]
+            body = grids
+            if grids and any(
+                normalize_column_name(cell) in self.hints_set for cell in grids[0]
+            ):
+                columns = [normalize_column_name(cell) for cell in grids[0]]
+                body = grids[1:]
 
         # reference read_table strips newlines from cells and normalizes
         # column names (document.py:177-185)
@@ -188,7 +238,14 @@ class SpanExtractor:
         spans_col = batch.column("spans").to_pylist()
         out_doc, out_idx, out_kind, out_text, out_ref = [], [], [], [], []
         for doc_id, spans in zip(doc_ids, spans_col):
-            for idx, (kind, text, ref) in enumerate(self.extract_doc(spans or [])):
+            mapping = self.mappings.get(doc_id)
+            try:
+                extracted = self.extract_doc(spans or [], mapping)
+            except Exception as exc:  # quarantine, don't fail the task
+                if not self.config.quarantine:
+                    raise
+                extracted = [("error", f"{type(exc).__name__}: {exc}", "")]
+            for idx, (kind, text, ref) in enumerate(extracted):
                 out_doc.append(doc_id)
                 out_idx.append(idx)
                 out_kind.append(kind)

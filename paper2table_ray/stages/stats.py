@@ -124,7 +124,9 @@ def paper_stats_dataset(cells: ray.data.Dataset) -> ray.data.Dataset:
             out.append(stats)
         return pd.DataFrame(out)
 
-    return cells.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+    from .shuffle import groupby_apply
+
+    return groupby_apply(cells, "doc_id", per_doc, batch_format="pyarrow")
 
 
 def global_stats(paper_stats: ray.data.Dataset) -> dict:

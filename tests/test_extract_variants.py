@@ -1,0 +1,154 @@
+"""Extraction variants: windowed (split_pages analogue) equals unwindowed,
+mapped (hybrid analogue) extraction + mapping cache, quarantine path."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from paper2table_ray.pipelines.extract import (
+    extract_pipeline,
+    extract_spans,
+    extract_spans_mapped,
+    extract_spans_windowed,
+    plan_mappings,
+    synth_docs_dataset,
+)
+from paper2table_ray.schema import DOC_SCHEMA, SPAN_STRUCT
+from paper2table_ray.stages.extract import CELL_SEP, ExtractConfig, SpanExtractor
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spans_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _doc(doc_id, spans):
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": i}
+                        for i, (k, t, m) in enumerate(spans)
+                    ]
+                ],
+                pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowed:
+    def test_windowed_equals_unwindowed(self):
+        docs = synth_docs_dataset(SF).materialize()
+        plain = _spans_df(extract_spans(docs))
+        windowed = _spans_df(extract_spans_windowed(docs, window_spans=7))
+        pd.testing.assert_frame_equal(plain, windowed)
+
+    def test_window_never_cuts_a_table_run(self):
+        rows = [("text", f"intro {i} " + "x" * 30, "") for i in range(6)]
+        rows += [("table_row", CELL_SEP.join(["family", "count"]), "")]
+        rows += [
+            ("table_row", CELL_SEP.join([f"Fam{i}", str(i)]), "") for i in range(10)
+        ]
+        rows += [("text", "outro " + "y" * 30, "")]
+        docs = ray.data.from_arrow(_doc("docw", rows))
+        plain = _spans_df(extract_spans(docs))
+        win = _spans_df(extract_spans_windowed(docs, window_spans=3))
+        pd.testing.assert_frame_equal(plain, win)
+        # the table stayed one fragment: exactly one 'table' header span
+        assert (win["kind"] == "table").sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMapped:
+    def _table_doc(self):
+        rows = [
+            ("table_row", CELL_SEP.join(["Family", "Common Name", "Count"]), ""),
+            ("table_row", CELL_SEP.join(["Rosaceae", "rose", "5"]), ""),
+            ("table_row", CELL_SEP.join(["Poaceae", "grass", "9"]), ""),
+        ]
+        return ray.data.from_arrow(_doc("docm", rows))
+
+    def test_mapping_selects_and_renames(self):
+        mapping = {
+            "header_mode": "all_pages",
+            "column_mappings": {"0": "family", "2": "population"},
+        }
+        out = _spans_df(
+            extract_spans_mapped(self._table_doc(), {"docm": mapping})
+        )
+        header = out[out["kind"] == "table"]["text"].iloc[0]
+        assert header == CELL_SEP.join(["family", "population"])
+        rows = out[out["kind"] == "row"]["text"].tolist()
+        assert rows == [
+            CELL_SEP.join(["Rosaceae", "5"]),
+            CELL_SEP.join(["Poaceae", "9"]),
+        ]
+
+    def test_header_mode_none_keeps_header_row(self):
+        mapping = {
+            "header_mode": "none",
+            "column_mappings": {"0": "family"},
+        }
+        out = _spans_df(
+            extract_spans_mapped(self._table_doc(), {"docm": mapping})
+        )
+        rows = out[out["kind"] == "row"]["text"].tolist()
+        assert rows[0] == "Family"  # header row kept as data
+
+    def test_docs_without_mapping_fall_back_to_hints(self):
+        out_mapped = _spans_df(extract_spans_mapped(self._table_doc(), {}))
+        out_plain = _spans_df(extract_spans(self._table_doc()))
+        pd.testing.assert_frame_equal(out_mapped, out_plain)
+
+    def test_plan_mappings_cache_roundtrip(self, tmp_path):
+        docs = self._table_doc()
+        m1 = plan_mappings(docs, cache_dir=str(tmp_path))
+        assert "docm" in m1
+        assert os.path.exists(tmp_path / "docm.mapping.json")
+        # poison the cache: a second plan must NOT re-invoke the planner
+        poisoned = {"header_mode": "none", "column_mappings": {"1": "zzz"}}
+        json.dump(poisoned, open(tmp_path / "docm.mapping.json", "w"))
+        m2 = plan_mappings(self._table_doc(), cache_dir=str(tmp_path))
+        assert m2["docm"] == poisoned
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuarantine:
+    def _poisoned_doc(self):
+        # None text inside a table_row → .split raises inside extract_doc
+        return pa.table(
+            {
+                "doc_id": pa.array(["bad", "good"], pa.string()),
+                "spans": pa.array(
+                    [
+                        [{"kind": "table_row", "text": None, "media_ref": "", "offset": 0}],
+                        [{"kind": "text", "text": "fine " + "z" * 30, "media_ref": "", "offset": 0}],
+                    ],
+                    pa.list_(SPAN_STRUCT),
+                ),
+            }
+        )
+
+    def test_poisoned_doc_quarantined_not_fatal(self):
+        out = _spans_df(extract_spans(ray.data.from_arrow(self._poisoned_doc())))
+        bad = out[out["doc_id"] == "bad"]
+        assert bad["kind"].tolist() == ["error"]
+        assert "TypeError" in bad["text"].iloc[0] or "AttributeError" in bad["text"].iloc[0]
+        assert (out[out["doc_id"] == "good"]["kind"] == "text").all()
+
+    def test_quarantine_off_raises(self):
+        cfg = ExtractConfig(quarantine=False)
+        ex = SpanExtractor(cfg)
+        with pytest.raises(Exception):
+            ex(self._poisoned_doc())
