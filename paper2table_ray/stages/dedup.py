@@ -458,7 +458,22 @@ def exact_dedup(
 # --- SimHash ----------------------------------------------------------------
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount on uint64 (numpy<2 lacks bitwise_count).
+    Small temporaries only — the 256-entry-LUT path expands 8× to int64,
+    which stalls on first-touch page faults for big buckets."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & _M1)
+        x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+        x = (x + (x >> np.uint64(4))) & _M4
+        return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
 def _simhash_from_token_hashes(h: np.ndarray) -> int:
@@ -532,90 +547,79 @@ def simhash_pairs(
         emitted exactly once — by the LOWEST chunk index on which the two
         hashes agree — so no global dedup shuffle is needed.
 
-        Members with IDENTICAL simhash collapse to one representative
-        before the pairwise matrix (template corpora produce huge
-        equal-hash clusters; cluster pairs expand combinatorially at emit
-        time instead of paying U²→B² popcount work)."""
-        sizes = df.groupby("bucket")["doc_id"].transform("size")
-        dup = df[sizes > 1]
-        frames = []
-        for _, g in dup.groupby("bucket"):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(g) < 2:
+        Pure-numpy bucket walk (lexsort + run boundaries; no per-bucket
+        pandas). Members with IDENTICAL simhash collapse to one
+        representative before the pairwise matrix — template corpora
+        produce huge equal-hash clusters, whose pairs expand
+        combinatorially at emit time instead of paying B² popcount."""
+        bkt = df["bucket"].to_numpy()
+        sh = df["simhash"].to_numpy(dtype=np.uint64)
+        ids = df["doc_id"].to_numpy()
+        ck = df["chunk_id"].to_numpy()
+        order = np.lexsort((ids, sh, bkt))
+        bkt, sh, ids, ck = bkt[order], sh[order], ids[order], ck[order]
+        n = len(bkt)
+        b_starts = np.flatnonzero(np.concatenate(([True], bkt[1:] != bkt[:-1])))
+        b_ends = np.append(b_starts[1:], n)
+        acc_a, acc_b, acc_d = [], [], []
+        for s, e in zip(b_starts, b_ends):
+            if e - s < 2:
                 continue
-            g = g.iloc[:max_bucket_size]
-            chunk = int(g["chunk_id"].iloc[0])
-            # collapse identical hashes: rep index → member doc-id array
-            groups = {
-                np.uint64(h): sub["doc_id"].to_numpy()
-                for h, sub in g.groupby("simhash", sort=True)
-            }
-            uh = np.fromiter(groups.keys(), dtype=np.uint64, count=len(groups))
-            members = list(groups.values())
+            e = min(e, s + max_bucket_size)
+            chunk = int(ck[s])
+            shs, idss = sh[s:e], ids[s:e]
+            g_starts = np.flatnonzero(
+                np.concatenate(([True], shs[1:] != shs[:-1]))
+            )
+            g_ends = np.append(g_starts[1:], len(shs))
+            uh = shs[g_starts]
+            gsize = g_ends - g_starts
             u = len(uh)
             # identical-hash pairs: hamming 0 ⇒ first agreeing chunk is 0
             if chunk == 0:
-                for ids in members:
-                    b = len(ids)
-                    if b > 1:
-                        ai, bj = np.triu_indices(b, 1)
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "doc_a": ids[ai],
-                                    "doc_b": ids[bj],
-                                    "hamming": np.zeros(len(ai), dtype=np.int64),
-                                }
-                            )
-                        )
+                for gs, m in zip(g_starts, gsize):
+                    if m > 1:
+                        grp = idss[gs : gs + m]
+                        ai, bj = np.triu_indices(m, 1)
+                        acc_a.append(grp[ai])
+                        acc_b.append(grp[bj])
+                        acc_d.append(np.zeros(len(ai), dtype=np.int64))
             if u < 2:
                 continue
-            # cross-representative pairs: vectorized Hamming on U×U
-            xor = uh[:, None] ^ uh[None, :]
-            x = xor.view(np.uint8).reshape(u, u, 8)
-            d = _POP8[x].sum(axis=2, dtype=np.int64)
+            # cross-representative pairs: SWAR Hamming on the upper
+            # triangle VECTOR (u²/2) — never a (u,u,8) matrix
             ai, bj = np.triu_indices(u, 1)
-            ok = d[ai, bj] <= max_hamming
+            xor_p = uh[ai] ^ uh[bj]
+            d_p = popcount64(xor_p)
+            ok = d_p <= max_hamming
             if not ok.any():
                 continue
-            ai, bj = ai[ok], bj[ok]
+            ai, bj, xor_p, d_p = ai[ok], bj[ok], xor_p[ok], d_p[ok]
             with np.errstate(over="ignore"):
-                agree = ((xor[ai, bj][:, None] >> chunk_shifts) & mask) == 0
+                agree = ((xor_p[:, None] >> chunk_shifts) & mask) == 0
             keep = np.argmax(agree, axis=1) == chunk
-            ai, bj = ai[keep], bj[keep]
+            ai, bj, d_p = ai[keep], bj[keep], d_p[keep]
             if ai.size == 0:
                 continue
-            # bulk path: singleton×singleton rep pairs (the common case)
-            gsize = np.fromiter((len(m) for m in members), dtype=np.int64, count=u)
             single = (gsize[ai] == 1) & (gsize[bj] == 1)
             if single.any():
-                rep0 = np.array([m[0] for m in members])
+                rep0 = idss[g_starts]
                 la, lb = rep0[ai[single]], rep0[bj[single]]
                 swap = la > lb
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": np.where(swap, lb, la),
-                            "doc_b": np.where(swap, la, lb),
-                            "hamming": d[ai[single], bj[single]],
-                        }
-                    )
-                )
-            for i, j in zip(ai[~single], bj[~single]):
-                ga, gb = members[i], members[j]
+                acc_a.append(np.where(swap, lb, la))
+                acc_b.append(np.where(swap, la, lb))
+                acc_d.append(d_p[single])
+            for k in np.flatnonzero(~single):
+                i, j = ai[k], bj[k]
+                ga = idss[g_starts[i] : g_ends[i]]
+                gb = idss[g_starts[j] : g_ends[j]]
                 la = np.repeat(ga, len(gb))
                 lb = np.tile(gb, len(ga))
                 swap = la > lb
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": np.where(swap, lb, la),
-                            "doc_b": np.where(swap, la, lb),
-                            "hamming": np.full(la.size, d[i, j], dtype=np.int64),
-                        }
-                    )
-                )
-        if not frames:
+                acc_a.append(np.where(swap, lb, la))
+                acc_b.append(np.where(swap, la, lb))
+                acc_d.append(np.full(la.size, d_p[k], dtype=np.int64))
+        if not acc_a:
             return pd.DataFrame(
                 {
                     "doc_a": pd.Series([], dtype=df["doc_id"].dtype),
@@ -623,10 +627,20 @@ def simhash_pairs(
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        return pd.concat(frames)
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(acc_a),
+                "doc_b": np.concatenate(acc_b),
+                "hamming": np.concatenate(acc_d),
+            }
+        )
 
     hashed = docs.map_batches(add_simhash, batch_format="pyarrow")
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
+    # repartition so the groupby's sort emits ≥num_shards blocks — on a
+    # small input everything lands in ONE block and map_groups would run
+    # every shard serially in a single task (measured 27s vs ~3s).
+    exploded = exploded.repartition(num_shards)
     return exploded.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
 
 

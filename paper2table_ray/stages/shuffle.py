@@ -93,6 +93,9 @@ def groupby_apply(
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow")
+        # ensure the groupby's sort has ≥num_shards blocks to emit — with
+        # one input block every shard would run serially in a single task
+        .repartition(num_shards)
         .groupby(_SHARD_COL)
         .map_groups(run_shard, batch_format="pyarrow")
     )
