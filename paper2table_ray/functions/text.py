@@ -37,6 +37,9 @@ _WS_RE = re.compile(r"\s+")
 
 _ASCII_SAFE_RE = re.compile(r"^[\x20-\x7e]*$")
 _ASCII_SIMPLE_RE = re.compile(r"^[0-9a-z_][0-9a-z_ ]*$")
+# whitespace that actually needs collapsing: a run of ≥2, or any
+# whitespace char that isn't a plain space
+_WS_DIRTY_RE = re.compile(r"\s{2,}|[^\S ]")
 
 
 def _replace_cid(match: re.Match) -> str:
@@ -47,7 +50,19 @@ def _replace_cid(match: re.Match) -> str:
 def normalize_str(value: str) -> str:
     """NFC-normalize, strip non-printables/U+FFFD, decode ``(cid:N)``
     escapes (latin-1 range only), unify the 7 dash variants to ``-`` and
-    collapse whitespace."""
+    collapse whitespace.
+
+    Fast path: printable-ASCII input (the overwhelming majority in real
+    corpora) skips the unicode/sub chain entirely — each skipped ``sub``
+    avoids a string allocation, which is what limits multi-core scaling
+    of the extract stage."""
+    if _ASCII_SAFE_RE.match(value):
+        if "(cid:" in value:
+            value = _CID_RE.sub(_replace_cid, value)
+        value = value.strip()
+        if _WS_DIRTY_RE.search(value):
+            value = _WS_RE.sub(" ", value)
+        return value
     value = unicodedata.normalize("NFC", value)
     value = _NONPRINTABLE_RE.sub("", value)
     value = _CID_RE.sub(_replace_cid, value)
@@ -66,11 +81,16 @@ def _normalize_str_ascii_fast(value: str) -> str:
 _VALID_NAME_CHARS = frozenset(string.ascii_lowercase + string.digits + "_")
 
 
+_SNAKE_DONE_RE = re.compile(r"^(?!_)[0-9a-z_]*(?<!_)$")
+
+
 def normalize_column_name(name: str | None) -> str | None:
     """normalize_str → NFKD → ASCII-fold → lowercase → snake_case,
     collapse ``__``, strip leading/trailing ``_``."""
     if name is None:
         return None
+    if _SNAKE_DONE_RE.match(name) and "__" not in name:
+        return name  # already canonical snake_case — no allocations
     name = (
         unicodedata.normalize("NFKD", normalize_str(name))
         .encode("ascii", "ignore")
@@ -156,6 +176,15 @@ def normalize_punctuation(text: str) -> str:
     """Dash variants → ``-``; strip guillemets; typographic quotes → ``'``;
     combine vowel+acute; drop one trailing sentence dot after a ≥5-char
     word; ellipsis char → ``...``."""
+    if _ASCII_SAFE_RE.match(text):
+        # every rewrite except the double-quote fold and the trailing-dot
+        # rule targets non-ASCII characters
+        if '"' in text:
+            text = text.replace('"', "'")
+        match = _TRAILING_DOT_RE.match(text)
+        if match:
+            text = match.group(1)
+        return text
     text = _DASH_RE.sub("-", text)
     text = _GUILLEMETS_RE.sub("", text)
     text = _TYPO_DQUOTES_RE.sub('"', text)

@@ -29,19 +29,50 @@ def synth_docs_dataset(
     sf_dir: str,
     seed: int = DEFAULT_SEED,
     parallelism: Optional[int] = None,
+    repeat: int = 1,
 ) -> ray.data.Dataset:
     """documents.parquet → interleaved-doc Dataset (synthesis runs inside
-    map_batches, so corpus generation itself is distributed/streaming)."""
+    map_batches, so corpus generation itself is distributed/streaming).
+
+    ``repeat`` replicates the corpus with distinct doc ids (seed varied
+    per replica) — the scaling audit uses it to grow the workload past
+    fixed overheads without external data. ``parallelism`` defaults to
+    4× cluster CPUs so a single small parquet file doesn't collapse the
+    whole downstream pipeline into one block."""
+    import ray as _ray
+
+    if parallelism is None and _ray.is_initialized():
+        parallelism = 4 * int(_ray.cluster_resources().get("CPU", 4))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],  # prune at the read
-        **({"override_num_blocks": parallelism} if parallelism else {}),
     )
-    return ds.map_batches(
-        lambda b: synth_docs_batch(b, seed),
-        batch_format="pyarrow",
-        batch_size=64,
-    )
+    if parallelism:
+        # the sf parquet files are single-row-group → ONE block → every
+        # downstream map stage would run in one task; split first
+        ds = ds.repartition(parallelism)
+
+    def synth(batch):
+        # replication happens INSIDE one operator — a union of R branches
+        # serializes the map stage (observed: 2 busy workers at repeat=16)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tables = []
+        for rep in range(max(1, repeat)):
+            out = synth_docs_batch(batch, seed + rep * 1_000_003)
+            if rep:
+                out = out.set_column(
+                    out.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.binary_join_element_wise(
+                        out.column("doc_id"), pa.scalar(f"r{rep}"), "~"
+                    ),
+                )
+            tables.append(out)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
 
 
 def add_size_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -67,34 +98,64 @@ def add_size_buckets(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(bucket, batch_format="pyarrow")
 
 
+_WORKER_EXTRACTOR: dict = {}
+
+
+def _extract_batch_cached(batch, config: ExtractConfig, mappings=None):
+    """Task UDF with worker-local extractor cache: Ray reuses worker
+    processes across tasks, so construction (regex compile, hint set,
+    stripper) still happens once per worker — the init-once guarantee of
+    an actor pool WITHOUT its slow scale-up (actor process spawn+imports
+    measured ~10s for a 32-pool on this box, dominating short runs).
+    Reserve true actor pools (use_actors=True) for genuinely expensive
+    state (models, external processes)."""
+    key = (id(type(config)), repr(config), mappings is not None)
+    ex = _WORKER_EXTRACTOR.get(key)
+    if ex is None:
+        ex = SpanExtractor(config, mappings=mappings)
+        _WORKER_EXTRACTOR.clear()
+        _WORKER_EXTRACTOR[key] = ex
+    return ex(batch)
+
+
 def extract_spans(
     docs: ray.data.Dataset,
     config: Optional[ExtractConfig] = None,
     batch_size: int = 32,
     concurrency=None,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
     """docs (DOC_SCHEMA) → spans (SPANS_OUT_SCHEMA).
 
-    The extractor is a callable class → Ray hosts it as an actor pool;
-    per-actor init (regex compile, hint set, stripper) happens once
-    (SURVEY.md §2.3). Small batch_size bounds the damage of one giant doc
-    in a batch (skew).
+    Default: task pool + worker-local extractor cache (see
+    ``_extract_batch_cached``). ``use_actors=True`` hosts ``SpanExtractor``
+    as an autoscaling actor pool instead (the shape for expensive state).
+    Small batch_size bounds the damage of one giant doc in a batch (skew).
     """
-    if concurrency is None:
-        # actor pool sized to the cluster, autoscaling from 1 so small
-        # inputs don't pay full pool startup
-        import ray
+    cfg = config or ExtractConfig()
+    if use_actors:
+        if concurrency is None:
+            import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, cpus))
-    kwargs = {"concurrency": concurrency}
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized()
+                else 4
+            )
+            concurrency = (1, max(2, cpus))
+        return docs.map_batches(
+            SpanExtractor,
+            fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return docs.map_batches(
-        SpanExtractor,
-        fn_constructor_kwargs={"config": config or ExtractConfig()},
+        lambda b: _extract_batch_cached(b, cfg),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
     )
 
 
@@ -111,6 +172,82 @@ def extract_pipeline(
     if output_path:
         spans.write_parquet(output_path)
     return spans
+
+
+class SynthExtract:
+    """Fused synth→extract actor stage: documents.parquet rows → interleaved
+    docs (in-memory, never serialized) → output spans.
+
+    Why fused: the interleaved doc blocks are ~5-10× larger than both their
+    parquet source and the span output; shipping them through the object
+    store between a synth task stage and the extract actor stage makes the
+    pipeline plasma-bound (object-store writes serialize under memory
+    pressure — measured ANTI-scaling 8→32 cpus). One stage keeps the fat
+    intermediate on the actor's heap. On a deployment reading real
+    interleaved Lance input there is no synth stage and the extractor reads
+    the source directly — same shape."""
+
+    def __init__(self, seed: int = DEFAULT_SEED, repeat: int = 1, config=None):
+        self.seed = seed
+        self.repeat = max(1, repeat)
+        self.extractor = SpanExtractor(config)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        outs = []
+        for rep in range(self.repeat):
+            docs = synth_docs_batch(batch, self.seed + rep * 1_000_003)
+            if rep:
+                docs = docs.set_column(
+                    docs.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.binary_join_element_wise(
+                        docs.column("doc_id"), pa.scalar(f"r{rep}"), "~"
+                    ),
+                )
+            outs.append(self.extractor(docs))
+        return pa.concat_tables(outs)
+
+
+def extract_pipeline_fused(
+    sf_dir: str,
+    config: Optional[ExtractConfig] = None,
+    seed: int = DEFAULT_SEED,
+    repeat: int = 1,
+    batch_size: int = 16,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Flagship with synth+extract fused in one actor pool (see
+    SynthExtract). The benchmark headline uses this path."""
+    import ray as _ray
+
+    parallelism = None
+    if _ray.is_initialized():
+        parallelism = 4 * int(_ray.cluster_resources().get("CPU", 4))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    if parallelism:
+        ds = ds.repartition(parallelism)  # single-row-group source → split
+    cache: dict = {}
+
+    def fused(batch):
+        se = cache.get("se")
+        if se is None:
+            se = cache["se"] = SynthExtract(seed=seed, repeat=repeat, config=config)
+        return se(batch)
+
+    # task pool + closure-local cache (the closure is deserialized once per
+    # worker process) — see _extract_batch_cached for why not an actor pool
+    return ds.map_batches(
+        fused,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
 
 
 def plan_mappings(
