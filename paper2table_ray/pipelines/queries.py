@@ -714,6 +714,76 @@ def q_lineage_resume(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_extract_windowed(sf_dir: str):
+    """split_pages-analogue windowed extraction (SURVEY.md S7) — output is
+    bit-identical to the unwindowed flagship by construction (windows only
+    close outside table runs); rows-only."""
+    from .extract import extract_spans_windowed, synth_docs_dataset
+
+    out = extract_spans_windowed(
+        synth_docs_dataset(sf_dir), window_spans=64
+    ).to_pandas()
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def q_extract_mapped(sf_dir: str):
+    """Hybrid-reader analogue (SURVEY.md S6): deterministic planner stub
+    produces per-doc column mappings (broadcast via ray.put), mapped
+    extraction applies ordinal select + rename; rows-only."""
+    from .extract import extract_spans_mapped, plan_mappings, synth_docs_dataset
+
+    docs = synth_docs_dataset(sf_dir).materialize()
+    mappings = plan_mappings(docs)
+    out = extract_spans_mapped(docs, mappings).to_pandas()
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def q_scientific_names(sf_dir: str):
+    """Scientific-name canonicalization (SURVEY.md M6, gnparser analogue)
+    over the synthetic resultsets' scientific_name cells; rows-only."""
+    from ..functions.scientific import canonicalize_multi
+    from ..sources.resultsets import synth_resultsets_dataset
+
+    cells = synth_resultsets_dataset(sf_dir, runs=1)
+
+    def canon(batch: pa.Table) -> pd.DataFrame:
+        from ..schema import table_to_row_records
+
+        rows = []
+        for rec in table_to_row_records(batch):
+            val = rec["cells"].get("scientific_name")
+            if isinstance(val, str) and val:
+                rows.append(
+                    {
+                        "doc_id": rec["doc_id"],
+                        "raw": val,
+                        "canonical": canonicalize_multi(val),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["doc_id", "raw", "canonical"])
+
+    out = cells.map_batches(canon, batch_format="pyarrow").to_pandas()
+    return (
+        out.drop_duplicates()
+        .sort_values(["doc_id", "raw"])
+        .reset_index(drop=True)
+    )
+
+
+def q_csv_export(sf_dir: str):
+    """table2csv-analogue flatten (SURVEY.md S13): merged cells → long
+    (doc, table, row, column, value) frame; rows-only."""
+    from ..sources.resultsets import synth_resultsets_dataset
+    from .export import cells_to_csv_tables
+    from .merge import MergeConfig, merge_pipeline
+
+    merged = merge_pipeline(synth_resultsets_dataset(sf_dir), MergeConfig())
+    out = cells_to_csv_tables(merged)
+    return out.sort_values(
+        ["doc_id", "table_idx", "csv_row", "column"]
+    ).reset_index(drop=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -746,6 +816,10 @@ QUERIES = {
     "media_features": q_media_features,
     "filenorm_plan": q_filenorm_plan,
     "lineage_resume": q_lineage_resume,
+    "extract_windowed": q_extract_windowed,
+    "extract_mapped": q_extract_mapped,
+    "scientific_names": q_scientific_names,
+    "csv_export": q_csv_export,
 }
 
 ORACLE_SQL = {
