@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 import string
 import unicodedata
+from functools import lru_cache as _lru_cache
 
 import pyarrow as pa
 
@@ -84,9 +85,11 @@ _VALID_NAME_CHARS = frozenset(string.ascii_lowercase + string.digits + "_")
 _SNAKE_DONE_RE = re.compile(r"^(?!_)[0-9a-z_]*(?<!_)$")
 
 
+@_lru_cache(maxsize=16384)
 def normalize_column_name(name: str | None) -> str | None:
     """normalize_str → NFKD → ASCII-fold → lowercase → snake_case,
-    collapse ``__``, strip leading/trailing ``_``."""
+    collapse ``__``, strip leading/trailing ``_``. Memoized (column names
+    repeat per corpus)."""
     if name is None:
         return None
     if _SNAKE_DONE_RE.match(name) and "__" not in name:
@@ -108,8 +111,13 @@ def normalize_column_name(name: str | None) -> str | None:
 NO_DATA_EXPRESSIONS = frozenset({"no data", "none", "not identified"})
 
 
+@_lru_cache(maxsize=65536)
 def normalize_column_value(value: str) -> str:
-    """normalize_str + lowercase; maps no-data phrases to ``""``."""
+    """normalize_str + lowercase; maps no-data phrases to ``""``.
+
+    Memoized: the merge engine re-normalizes the same cell values many
+    times per doc (row comparison, emptiness checks, vote merge) and
+    values repeat heavily across a corpus."""
     normalized = normalize_str(value).lower()
     if normalized in NO_DATA_EXPRESSIONS:
         return ""

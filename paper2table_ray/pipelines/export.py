@@ -62,9 +62,29 @@ def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
         doc_id = records[0]["doc_id"]
         out = []
         for uuid, tf in records_to_tablesfiles(records).items():
-            for t_idx, frame in enumerate(_fragment_frames(tf)):
-                for r_i, (_, row) in enumerate(frame.iterrows()):
-                    for col, val in row.items():
+            for t_idx, table in enumerate(tf["tables"]):
+                # first-seen column union in pandas-from-dicts order
+                # (the same order a DataFrame of the row dicts would have)
+                cols: list = []
+                seen = set()
+                flats = []
+                for frag in table["fragments"]:
+                    for row in frag["rows"]:
+                        flat = {
+                            col: " / ".join(value_to_strings(v))
+                            if isinstance(v, list)
+                            else ("" if v is None else v)
+                            for col, v in row["cells"].items()
+                        }
+                        flat["$page"] = frag["page"]
+                        flats.append(flat)
+                        for c in flat:
+                            if c not in seen:
+                                seen.add(c)
+                                cols.append(c)
+                for r_i, flat in enumerate(flats):
+                    for col in cols:
+                        val = flat.get(col)
                         out.append(
                             {
                                 "doc_id": doc_id,
@@ -72,7 +92,7 @@ def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
                                 "table_idx": t_idx,
                                 "csv_row": r_i,
                                 "column": str(col),
-                                "value": "" if pd.isna(val) else str(val),
+                                "value": "" if val is None else str(val),
                             }
                         )
         return pd.DataFrame(out)

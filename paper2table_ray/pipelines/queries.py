@@ -784,6 +784,40 @@ def q_csv_export(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio multimodal stage (decode stubbed, Ray plumbing real);
+    rows-only."""
+    from ..stages.multimodal import audio_feature_pipeline
+    from .extract import extract_pipeline
+
+    out = audio_feature_pipeline(extract_pipeline(sf_dir)).to_pandas()
+    out["rms"] = out["rms"].round(4)
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling stage (flat_map shape: one row per sampled
+    frame); rows-only."""
+    from ..stages.multimodal import video_frame_pipeline
+    from .extract import extract_pipeline
+
+    out = video_frame_pipeline(extract_pipeline(sf_dir)).to_pandas()
+    out = out.drop(columns=["feature"])
+    return out.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN with exhaustive probes (nprobe = n_centroids) — equals the
+    brute-force top-k, so the SQL oracle applies."""
+    from ..stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+    out = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=8).to_pandas()
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -820,6 +854,9 @@ QUERIES = {
     "extract_mapped": q_extract_mapped,
     "scientific_names": q_scientific_names,
     "csv_export": q_csv_export,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLE_SQL = {
@@ -952,6 +989,15 @@ ORACLE_SQL = {
         JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
         ORDER BY p.p_brand
+    """,
+    "ivf_topk": """
+        SELECT vec_id
+        FROM embeddings
+        ORDER BY list_cosine_similarity(
+            embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        ) DESC
+        LIMIT 5
     """,
     "user_sessions": """
         WITH flagged AS (

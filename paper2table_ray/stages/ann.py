@@ -166,4 +166,93 @@ def embedding_cosine_dedup_pairs(
             }
         )
 
-    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from .shuffle import groupby_apply
+
+    # coarse-shard the bucket groupby (O(shards) scheduling, not O(buckets))
+    return groupby_apply(coded, "bucket", bucket_pairs, batch_format="pandas")
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (Lloyd
+    iterations, seeded init). The centroid table is tiny — it broadcasts;
+    training cost is bounded by ``sample``, not corpus size."""
+    df = embeddings.limit(sample).to_pandas()
+    m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n:
+                    cent[c] = v / n
+    return cent
+
+
+class IVFAssigner:
+    """Adds ``centroid_id`` per embedding (nearest centroid by cosine).
+    Centroids arrive via a Ray ObjectRef — resolved once per actor."""
+
+    def __init__(self, centroids):
+        if not isinstance(centroids, np.ndarray):
+            centroids = ray.get(centroids)
+        self.centroids = centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        assign = np.argmax(m @ self.centroids.T, axis=1)
+        return batch.append_column(
+            "centroid_id", pa.array(assign.astype(np.int32))
+        )
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """IVF ANN: train centroids on a sample, assign vectors (broadcast
+    centroids), score only the ``nprobe`` lists nearest the query —
+    the classic inverted-file scale path (recall grows with nprobe)."""
+    cent = train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, seed=seed
+    )
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = np.argsort(-(cent @ qn))[:nprobe]
+    probe_arr = pa.array(sorted(int(p) for p in probes), type=pa.int32())
+    cent_ref = ray.put(cent)
+
+    coded = embeddings.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs={"centroids": cent_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def filter_probes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column("centroid_id"), value_set=probe_arr)
+        )
+
+    candidates = coded.map_batches(filter_probes, batch_format="pyarrow")
+    return topk_cosine(candidates, query, k=k, id_col=id_col)

@@ -114,6 +114,108 @@ class ImageFeatureExtractor:
         )
 
 
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("duration_ms", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("rms", pa.float32()),
+        ("zero_crossings", pa.int32()),
+    ]
+)
+
+FRAME_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class FakeAudioBackend:
+    """Deterministic stand-in for an audio decoder: payload bytes → a
+    pseudo-PCM float array (hash-seeded) + synthetic sample rate."""
+
+    def decode(self, payload: bytes):
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
+        rng = np.random.RandomState(seed)
+        sample_rate = 16000
+        n = rng.randint(sample_rate // 4, sample_rate * 2)
+        return rng.standard_normal(n).astype(np.float32), sample_rate
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: decode → duration / RMS / zero-crossing features
+    (the plumbing a real librosa/ffmpeg stage would use; decode stubbed)."""
+
+    def __init__(self, backend=None):
+        self.backend = backend or FakeAudioBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durs, rates, rms, zc = [], [], [], []
+        for payload in payloads:
+            pcm, sr = self.backend.decode(payload or b"")
+            durs.append(int(len(pcm) * 1000 / sr))
+            rates.append(sr)
+            rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+            zc.append(int(((pcm[:-1] * pcm[1:]) < 0).sum()) if len(pcm) > 1 else 0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(durs, pa.int32()),
+                pa.array(rates, pa.int32()),
+                pa.array(rms, pa.float32()),
+                pa.array(zc, pa.int32()),
+            ],
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: 'decode' video payload into hash-seeded frames,
+    sample every ``stride``-th frame, emit per-frame color-histogram
+    features (one output row per sampled frame — a flat_map-shaped
+    map_batches)."""
+
+    def __init__(self, stride: int = 5, target_size: int = 16, backend=None):
+        self.stride = stride
+        self.image = ImageFeatureExtractor(target_size=target_size, backend=backend)
+
+    def frames(self, payload: bytes):
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
+        rng = np.random.RandomState(seed)
+        n_frames = rng.randint(10, 60)
+        fps = 10
+        for i in range(0, n_frames, self.stride):
+            yield i, int(i * 1000 / fps), rng.randint(
+                0, 256, size=(24, 32, 3), dtype=np.uint8
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ref, out_idx, out_ts, out_feat = [], [], [], []
+        for ref, payload in zip(refs, payloads):
+            for idx, ts, frame in self.frames(payload or b""):
+                out_ref.append(ref)
+                out_idx.append(idx)
+                out_ts.append(ts)
+                out_feat.append(self.image.features(frame).tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_ref, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_ts, pa.int32()),
+                pa.array(out_feat, pa.list_(pa.float32())),
+            ],
+            schema=FRAME_FEATURES_SCHEMA,
+        )
+
+
 def synth_media_batch(batch: pa.Table) -> pa.Table:
     """Build MEDIA_SCHEMA rows from extracted media spans (payload =
     deterministic pseudo-bytes derived from media_ref; stands in for a
@@ -153,5 +255,43 @@ def media_feature_pipeline(spans, target_size: int = 32, concurrency=(1, 4)):
         fn_constructor_kwargs={"target_size": target_size},
         batch_format="pyarrow",
         batch_size=16,
+        concurrency=concurrency,
+    )
+
+
+def audio_feature_pipeline(spans, concurrency=(1, 4)):
+    """media spans → audio features (duration/RMS/zero-crossings)."""
+    import pyarrow.compute as pc
+
+    media_rows = spans.map_batches(
+        lambda b: synth_media_batch(
+            b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
+        ),
+        batch_format="pyarrow",
+    )
+    return media_rows.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )
+
+
+def video_frame_pipeline(spans, stride: int = 5, concurrency=(1, 4)):
+    """media spans → per-sampled-frame features (flat_map shape: one
+    output row per frame)."""
+    import pyarrow.compute as pc
+
+    media_rows = spans.map_batches(
+        lambda b: synth_media_batch(
+            b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
+        ),
+        batch_format="pyarrow",
+    )
+    return media_rows.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=8,
         concurrency=concurrency,
     )
