@@ -1,0 +1,250 @@
+"""CLI surface mirroring the reference's seven console scripts
+(/root/reference/setup.cfg:83-90): paper2table (extract), tablemerge,
+tablestats, table2csv, table2html, tablevalidate, filenorm.
+
+Usage: ``python -m paper2table_ray.cli <command> ...`` — each command is a
+thin argparse wrapper over the library pipelines; Ray is initialised only
+when needed and only if not already running (the driver contract forbids
+the library from owning the session, so only this entry point does)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from typing import List
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_extract(argv: List[str]) -> int:
+    """paper2table analogue: interleaved docs parquet → span parquet."""
+    p = argparse.ArgumentParser(prog="extract")
+    p.add_argument("input", help="parquet file/dir with (doc_id, spans) docs")
+    p.add_argument("-o", "--output", required=True, help="output parquet dir")
+    p.add_argument("--windowed", action="store_true", help="split_pages-style fan-out")
+    p.add_argument("--window-spans", type=int, default=256)
+    p.add_argument("--mappings", help="mapping cache dir (hybrid mode)")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpointed partitioned write with lineage + skip")
+    p.add_argument("--partitions", type=int, default=64)
+    args = p.parse_args(argv)
+    _ensure_ray()
+    import ray.data
+
+    from .pipelines.extract import (
+        extract_spans,
+        extract_spans_mapped,
+        extract_spans_windowed,
+        plan_mappings,
+    )
+    from .state.lineage import LineageSink
+
+    docs = ray.data.read_parquet(args.input)
+    if args.resume:
+        sink = LineageSink(args.output, num_partitions=args.partitions)
+        docs = sink.filter_pending(sink.add_partition_column(docs))
+    if args.mappings:
+        mappings = plan_mappings(docs, cache_dir=args.mappings)
+        spans = extract_spans_mapped(docs, mappings)
+    elif args.windowed:
+        spans = extract_spans_windowed(docs, window_spans=args.window_spans)
+    else:
+        spans = extract_spans(docs)
+    if args.resume:
+        sink = LineageSink(args.output, num_partitions=args.partitions)
+        summary = sink.write(sink.add_partition_column(spans))
+        print(summary.to_string(index=False))
+    else:
+        spans.write_parquet(args.output)
+        print(f"wrote spans to {args.output}")
+    return 0
+
+
+def cmd_tablemerge(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="tablemerge")
+    p.add_argument("resultsets", nargs="+", help="resultset directories")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--settings", help="settings.tablemerge.json to load")
+    p.add_argument("--column-names-hints")
+    p.add_argument("--column-aliases")
+    p.add_argument("--jaccard-column-alignment", action="store_true")
+    p.add_argument("--agreement-method", default="simple-count",
+                   choices=["simple-count", "distinct-readers", "none"])
+    p.add_argument("--force-update", action="store_true")
+    p.add_argument("--pretty", action="store_true")
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .pipelines.tablemerge import run_tablemerge
+    from .state.settings import MergeSettings
+
+    if args.settings:
+        settings = MergeSettings.from_dict(json.load(open(args.settings)))
+    else:
+        settings = MergeSettings(
+            column_names_hints=args.column_names_hints,
+            column_aliases=args.column_aliases,
+            jaccard_column_alignment=args.jaccard_column_alignment,
+            agreement_method=args.agreement_method,
+            pretty=args.pretty,
+        )
+    summary = run_tablemerge(
+        args.resultsets, args.output, settings, force_update=args.force_update
+    )
+    print(summary.to_string(index=False))
+    return 0
+
+
+def cmd_tablestats(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="tablestats")
+    p.add_argument("resultsets", nargs="+")
+    p.add_argument("-o", "--output", help="write JSON here (default stdout)")
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .sources.tablesfile_json import read_resultsets
+    from .stages.stats import empty_papers, global_stats, paper_stats_dataset
+
+    cells = read_resultsets(args.resultsets)
+    per_paper = paper_stats_dataset(cells).materialize()
+    stats = global_stats(per_paper)
+    stats["empty_papers"] = empty_papers(per_paper).count()
+    payload = json.dumps(stats, indent=2, default=str)
+    if args.output:
+        open(args.output, "w").write(payload)
+    else:
+        print(payload)
+    return 0
+
+
+def cmd_table2csv(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="table2csv")
+    p.add_argument("resultset", help="resultset directory")
+    p.add_argument("-o", "--output-directory", default=".")
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .pipelines.export import write_csvs
+    from .sources.tablesfile_json import read_resultsets
+
+    paths = write_csvs(read_resultsets([args.resultset]), args.output_directory)
+    for path in paths:
+        print(path)
+    return 0
+
+
+def cmd_table2html(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="table2html")
+    p.add_argument("resultset")
+    p.add_argument("-o", "--output", required=True, help="output .html file")
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .pipelines.export import cells_to_html
+    from .sources.tablesfile_json import read_resultsets
+
+    html = cells_to_html(
+        read_resultsets([args.resultset]),
+        title=os.path.basename(os.path.normpath(args.resultset)),
+    )
+    open(args.output, "w", encoding="utf-8").write(html)
+    print(args.output)
+    return 0
+
+
+def cmd_tablevalidate(argv: List[str]) -> int:
+    """No Ray needed — validation is per-file (tablevalidate/__main__.py)."""
+    p = argparse.ArgumentParser(prog="tablevalidate")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--all", action="store_true", help="report every file")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+    from .sources.tablesfile_json import validate_tablesfile_obj
+
+    rc = 0
+    for raw in args.paths:
+        for path in glob.glob(raw) or [raw]:
+            base = os.path.basename(path)
+            if base in ("tables.metadata.json", "settings.tablemerge.json"):
+                continue
+            try:
+                obj = json.load(open(path, encoding="utf-8"))
+                errors = validate_tablesfile_obj(obj)
+            except FileNotFoundError:
+                errors = ["NOT FOUND"]
+            except json.JSONDecodeError as e:
+                errors = [f"MALFORMED JSON: {e}"]
+            status = "VALID" if not errors else "INVALID"
+            if errors:
+                rc = 1
+            if not args.quiet and (args.all or errors):
+                print(f"{path}: {status}")
+                for e in errors:
+                    print(f"  {e}")
+            if errors and not args.all and not args.quiet:
+                return 1
+    return rc
+
+
+def cmd_filenorm(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(prog="filenorm")
+    p.add_argument("directory")
+    p.add_argument("--apply", action="store_true",
+                   help="perform deletes/renames (default: print the plan)")
+    args = p.parse_args(argv)
+    _ensure_ray()
+    from .stages.filenorm import hash_files_dataset, plan_actions
+
+    paths = sorted(
+        os.path.join(args.directory, f)
+        for f in os.listdir(args.directory)
+        if os.path.isfile(os.path.join(args.directory, f))
+    )
+    hashed = hash_files_dataset(paths).to_pandas()
+    by_path: dict = {}
+    for hp, md5 in zip(hashed["path"], hashed["content_md5"]):
+        by_path[hp] = md5
+        by_path[os.path.basename(hp)] = md5
+    ordered = [
+        (path, by_path.get(path) or by_path[os.path.basename(path)])
+        for path in paths
+    ]
+    duplicates, renames, _ = plan_actions(ordered)
+    for md5, drops in sorted(duplicates.items()):
+        for d in drops:
+            print(f"drop {d}  (duplicate of md5 {md5[:8]})")
+            if args.apply:
+                os.remove(d)
+    for path, new_base in sorted(renames.items()):
+        print(f"rename {path} -> {new_base}")
+        if args.apply:
+            os.replace(path, os.path.join(os.path.dirname(path), new_base))
+    return 0
+
+
+COMMANDS = {
+    "extract": cmd_extract,
+    "tablemerge": cmd_tablemerge,
+    "tablestats": cmd_tablestats,
+    "table2csv": cmd_table2csv,
+    "table2html": cmd_table2html,
+    "tablevalidate": cmd_tablevalidate,
+    "filenorm": cmd_filenorm,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print("usage: python -m paper2table_ray.cli <command> ...")
+        print("commands:", ", ".join(COMMANDS))
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
