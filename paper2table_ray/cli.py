@@ -80,6 +80,7 @@ def cmd_tablemerge(argv: List[str]) -> int:
                    choices=["simple-count", "distinct-readers", "none"])
     p.add_argument("--force-update", action="store_true")
     p.add_argument("--pretty", action="store_true")
+    p.add_argument("--paper", help="regex: merge only matching doc ids")
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.tablemerge import run_tablemerge
@@ -96,7 +97,11 @@ def cmd_tablemerge(argv: List[str]) -> int:
             pretty=args.pretty,
         )
     summary = run_tablemerge(
-        args.resultsets, args.output, settings, force_update=args.force_update
+        args.resultsets,
+        args.output,
+        settings,
+        force_update=args.force_update,
+        paper=args.paper,
     )
     print(summary.to_string(index=False))
     return 0
@@ -109,12 +114,18 @@ def cmd_tablestats(argv: List[str]) -> int:
     args = p.parse_args(argv)
     _ensure_ray()
     from .sources.tablesfile_json import read_resultsets
-    from .stages.stats import empty_papers, global_stats, paper_stats_dataset
+    from .stages.stats import (
+        collect_unique_columns,
+        empty_papers,
+        global_stats,
+        paper_stats_dataset,
+    )
 
-    cells = read_resultsets(args.resultsets)
+    cells = read_resultsets(args.resultsets).materialize()
     per_paper = paper_stats_dataset(cells).materialize()
     stats = global_stats(per_paper)
     stats["empty_papers"] = empty_papers(per_paper).count()
+    stats["columns"] = collect_unique_columns(cells)
     payload = json.dumps(stats, indent=2, default=str)
     if args.output:
         open(args.output, "w").write(payload)

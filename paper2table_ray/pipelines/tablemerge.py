@@ -65,9 +65,12 @@ def run_tablemerge(
     settings: Optional[MergeSettings] = None,
     resultset_uuid: Optional[str] = None,
     force_update: bool = False,
+    paper: Optional[str] = None,
 ) -> pd.DataFrame:
     """Merge N resultset directories into ``<output_dir>/<uuid>/``.
-    Returns the per-doc write summary."""
+    Returns the per-doc write summary. ``paper``: regex — merge only docs
+    whose id fullmatches it (J2, tablemerge/__main__.py:165-174), applied
+    BEFORE the shuffle."""
     settings = settings or MergeSettings()
     uuid_to_reader = {}
     for d in resultset_dirs:
@@ -78,6 +81,20 @@ def run_tablemerge(
             uuid_to_reader[os.path.basename(os.path.normpath(d))] = None
 
     cells = read_resultsets(resultset_dirs)
+    if paper:
+        import re as _re
+
+        import pyarrow as pa
+
+        pattern = _re.compile(paper)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [bool(pattern.fullmatch(d)) for d in batch.column("doc_id").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        cells = cells.map_batches(keep, batch_format="pyarrow")
     cfg = settings_to_config(settings, uuid_to_reader)
     merged = merge_pipeline(cells, cfg)
 

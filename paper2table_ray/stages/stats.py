@@ -163,3 +163,65 @@ def empty_papers(paper_stats: ray.data.Dataset) -> ray.data.Dataset:
         lambda b: b.filter(pc.equal(b.column("tables"), 0)),
         batch_format="pyarrow",
     )
+
+
+def infer_type(value) -> str:
+    """tablestats/__main__.py:55-70: bool / int / float / str probe on the
+    (first) string form of a cell value."""
+    raw = value if isinstance(value, str) else (value[0]["value"] if value else "")
+    stripped = (raw or "").strip()
+    if stripped.lower() in ("true", "false"):
+        return "bool"
+    try:
+        int(stripped)
+        return "int"
+    except ValueError:
+        pass
+    try:
+        float(stripped)
+        return "float"
+    except ValueError:
+        pass
+    return "str"
+
+
+def collect_unique_columns(cells: ray.data.Dataset) -> Dict[str, str]:
+    """G7 (tablestats/__main__.py:73-87): per fragment, probe the FIRST
+    row's semantic columns; first type inferred for a name wins.
+
+    Distributed as per-batch partial dicts folded on the driver in
+    deterministic (doc, source, table, fragment) order — the dict is tiny
+    (distinct column names), the scan streams."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        recs = table_to_row_records(batch)
+        # first row of the FIRST non-empty fragment per table (the
+        # reference breaks the fragment loop after one probe)
+        first_rows = {}
+        for r in recs:
+            key = (r["doc_id"], r["source_uuid"], r["table_idx"])
+            cur = first_rows.get(key)
+            if cur is None or (r["fragment_idx"], r["pos"]) < (
+                cur["fragment_idx"], cur["pos"]
+            ):
+                first_rows[key] = r
+        out = []
+        for key in sorted(first_rows):
+            r = first_rows[key]
+            for col, val in r["cells"].items():
+                if rm.is_semantic_column(col):
+                    out.append(
+                        {
+                            "sort_key": "|".join(map(str, key)),
+                            "column": col,
+                            "inferred": infer_type(val),
+                        }
+                    )
+        return pd.DataFrame(out, columns=["sort_key", "column", "inferred"])
+
+    df = cells.map_batches(partial, batch_format="pyarrow").to_pandas()
+    columns: Dict[str, str] = {}
+    for _, row in df.sort_values("sort_key").iterrows():
+        if row["column"] not in columns:
+            columns[row["column"]] = row["inferred"]
+    return columns

@@ -66,3 +66,34 @@ class TestEndToEnd:
         run_tablemerge(REF_RESULTSETS, str(tmp_path), force_update=True)
         files2 = {p: (out / p).read_text() for p in os.listdir(out)}
         assert files1 == files2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPaperFilterAndColumns:
+    def test_paper_regex_filter(self, tmp_path):
+        summary = run_tablemerge(
+            REF_RESULTSETS, str(tmp_path), paper="large_.*"
+        )
+        assert set(summary[summary["status"] == "written"]["doc_id"]) == {
+            "large_dataset"
+        }
+
+    def test_collect_unique_columns(self):
+        from paper2table_ray.stages.stats import collect_unique_columns
+
+        cells = read_resultsets(REF_RESULTSETS)
+        cols = collect_unique_columns(cells)
+        assert "scientific_name" in cols
+        assert cols["scientific_name"] == "str"
+        # estimated_population appears as "1,200" (str) or bare int rows
+        assert cols.get("estimated_population") in ("str", "int")
+
+    def test_infer_type(self):
+        from paper2table_ray.stages.stats import infer_type
+
+        assert infer_type("True") == "bool"
+        assert infer_type(" 42 ") == "int"
+        assert infer_type("3.5") == "float"
+        assert infer_type("1,200") == "str"
+        assert infer_type([{"value": "7", "agreement_level": 1}]) == "int"
+        assert infer_type([]) == "str"
