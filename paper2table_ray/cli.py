@@ -111,6 +111,9 @@ def cmd_tablestats(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="tablestats")
     p.add_argument("resultsets", nargs="+")
     p.add_argument("-o", "--output", help="write JSON here (default stdout)")
+    p.add_argument("--sort", choices=["asc", "desc"], default="asc",
+                   help="order the per-paper list by table count (O3)")
+    p.add_argument("--top", type=int, help="keep only the top N papers")
     args = p.parse_args(argv)
     _ensure_ray()
     from .sources.tablesfile_json import read_resultsets
@@ -126,6 +129,13 @@ def cmd_tablestats(argv: List[str]) -> int:
     stats = global_stats(per_paper)
     stats["empty_papers"] = empty_papers(per_paper).count()
     stats["columns"] = collect_unique_columns(cells)
+    ordered = per_paper.sort("tables", descending=(args.sort == "desc"))
+    if args.top:
+        ordered = ordered.limit(args.top)
+    stats["papers_by_tables"] = [
+        {"doc_id": r["doc_id"], "source_uuid": r["source_uuid"], "tables": r["tables"]}
+        for r in ordered.select_columns(["doc_id", "source_uuid", "tables"]).take_all()
+    ]
     payload = json.dumps(stats, indent=2, default=str)
     if args.output:
         open(args.output, "w").write(payload)
