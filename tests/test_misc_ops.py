@@ -95,3 +95,61 @@ class TestMultimodal:
         feats = out.column("feature").to_pylist()
         assert len(feats[0]) == 24  # 3 channels × 8 bins
         assert abs(sum(feats[0]) - 1.0) < 1e-5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupbyApply:
+    def test_multi_key_matches_pandas(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from paper2table_ray.stages.shuffle import groupby_apply
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {
+                "k1": rng.choice(["a", "b", "c"], 200),
+                "k2": rng.randint(0, 5, 200),
+                "v": rng.standard_normal(200),
+            }
+        )
+        ds = ray.data.from_pandas(df)
+
+        def agg(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                [{"k1": g["k1"].iloc[0], "k2": g["k2"].iloc[0],
+                  "n": len(g), "s": g["v"].sum().round(6)}]
+            )
+
+        got = (
+            groupby_apply(ds, ["k1", "k2"], agg, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.groupby(["k1", "k2"], as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+        )
+        exp["s"] = exp["s"].round(6)
+        exp = exp.sort_values(["k1", "k2"]).reset_index(drop=True)
+        got["n"] = got["n"].astype(exp["n"].dtype)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_each_fn_call_sees_one_full_group(self):
+        import pandas as pd
+        import ray.data
+
+        from paper2table_ray.stages.shuffle import groupby_apply
+
+        rows = [{"k": f"g{i % 7}", "v": i} for i in range(70)]
+        ds = ray.data.from_items(rows)
+
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            assert g["k"].nunique() == 1
+            assert len(g) == 10  # every group is complete
+            return pd.DataFrame([{"k": g["k"].iloc[0], "n": len(g)}])
+
+        out = groupby_apply(ds, "k", check, batch_format="pandas").to_pandas()
+        assert len(out) == 7 and (out["n"] == 10).all()

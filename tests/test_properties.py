@@ -204,3 +204,12 @@ def test_shingles_and_simhash_deterministic(s):
     assert np.array_equal(a, b)
     assert dd.simhash64(s) == dd.simhash64(s)
     assert (np.sort(a) == a).all()  # sorted unique contract
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+def test_popcount64_matches_python(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    got = dd.popcount64(arr.copy())
+    exp = np.array([int(x).bit_count() for x in xs], dtype=np.int64)
+    assert np.array_equal(got, exp)
