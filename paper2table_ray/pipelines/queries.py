@@ -32,6 +32,24 @@ def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+_SYNTH_CELLS_CACHE: dict = {}
+
+
+def _synth_cells(sf_dir: str, runs: int = 3):
+    """Shared, session-cached synthetic resultsets (materialized once):
+    four queries consume the same cells corpus — regenerating it per query
+    would re-run the python-heavy synthesis 4×. Small (≈50 MB at sf0.1)."""
+    from ..sources.resultsets import synth_resultsets_dataset
+
+    key = (sf_dir, runs)
+    if key not in _SYNTH_CELLS_CACHE:
+        _SYNTH_CELLS_CACHE.clear()
+        _SYNTH_CELLS_CACHE[key] = synth_resultsets_dataset(
+            sf_dir, runs=runs
+        ).materialize()
+    return _SYNTH_CELLS_CACHE[key]
+
+
 def round_sql(x, ndigits: int):
     """DuckDB-compatible rounding (half AWAY from zero). numpy/pyarrow/
     pandas round half-to-even, which disagrees with SQL ROUND() on exact
@@ -572,10 +590,9 @@ def q_merge_cells(sf_dir: str):
     (dynamic per-row columns + agreement lists) is not SQL-shaped; its
     correctness gate is tests/test_merge_pipeline.py's doc-local equality."""
     from ..schema import table_to_row_records
-    from ..sources.resultsets import synth_resultsets_dataset
     from .merge import MergeConfig, merge_pipeline
 
-    cells = synth_resultsets_dataset(sf_dir)
+    cells = _synth_cells(sf_dir)
     merged = merge_pipeline(cells, MergeConfig(column_agreement=True))
 
     def flatten(batch: pa.Table) -> pd.DataFrame:
@@ -604,19 +621,17 @@ def q_merge_cells(sf_dir: str):
 
 def q_paper_stats(sf_dir: str):
     """Per-paper stats rows (tablestats G4) over the synthetic resultsets."""
-    from ..sources.resultsets import synth_resultsets_dataset
     from ..stages.stats import paper_stats_dataset
 
-    out = paper_stats_dataset(synth_resultsets_dataset(sf_dir)).to_pandas()
+    out = paper_stats_dataset(_synth_cells(sf_dir)).to_pandas()
     return out.sort_values(["doc_id", "source_uuid"]).reset_index(drop=True)
 
 
 def q_global_stats(sf_dir: str):
     """Global corpus stats (tablestats G5) as a one-row frame."""
-    from ..sources.resultsets import synth_resultsets_dataset
     from ..stages.stats import global_stats, paper_stats_dataset
 
-    stats = global_stats(paper_stats_dataset(synth_resultsets_dataset(sf_dir)))
+    stats = global_stats(paper_stats_dataset(_synth_cells(sf_dir)))
     stats["global_agreement_percentage"] = round(
         stats["global_agreement_percentage"] or 0.0, 4
     )
@@ -773,11 +788,10 @@ def q_scientific_names(sf_dir: str):
 def q_csv_export(sf_dir: str):
     """table2csv-analogue flatten (SURVEY.md S13): merged cells → long
     (doc, table, row, column, value) frame; rows-only."""
-    from ..sources.resultsets import synth_resultsets_dataset
     from .export import cells_to_csv_tables
     from .merge import MergeConfig, merge_pipeline
 
-    merged = merge_pipeline(synth_resultsets_dataset(sf_dir), MergeConfig())
+    merged = merge_pipeline(_synth_cells(sf_dir), MergeConfig())
     out = cells_to_csv_tables(merged)
     return out.sort_values(
         ["doc_id", "table_idx", "csv_row", "column"]
