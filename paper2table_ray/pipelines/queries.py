@@ -832,6 +832,84 @@ def q_ivf_topk(sf_dir: str):
     return out[["vec_id"]].reset_index(drop=True)
 
 
+def q_asof_event_order(sf_dir: str):
+    """As-of join (custom operator per SURVEY custom-op list): each event
+    joined to the user's most recent order at-or-before the event time.
+
+    Ray shape: both sides tagged + coarse-sharded on the user key, ONE
+    shuffle co-locates a user's events and orders, pandas ``merge_asof``
+    (backward, by=user) inside the shard — no per-user groups cross the
+    wire. Ties on order date break to the highest order key (matches the
+    oracle's ORDER BY ... DESC LIMIT 1)."""
+    num_shards = 32
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % num_shards).astype(np.int32)),
+                "is_event": pa.array([True] * batch.num_rows),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "o_orderkey": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((cust % num_shards).astype(np.int32)),
+                "is_event": pa.array([False] * batch.num_rows),
+                "user_id": batch.column("o_custkey"),
+                "ts": batch.column("o_orderdate"),
+                "event_id": pa.nulls(batch.num_rows, pa.int64()),
+                "o_orderkey": batch.column("o_orderkey"),
+            }
+        )
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    both = events.union(orders)
+
+    def asof_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["is_event"]].sort_values("ts")
+        od = (
+            g[~g["is_event"]]
+            .sort_values(["ts", "o_orderkey"])
+            [["user_id", "ts", "o_orderkey"]]
+        )
+        if ev.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "last_orderkey"]
+            )
+        merged = pd.merge_asof(
+            ev[["event_id", "user_id", "ts"]],
+            od.rename(columns={"o_orderkey": "last_orderkey"}),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        return merged[["event_id", "user_id", "ts", "last_orderkey"]]
+
+    out = (
+        both.groupby("shard")
+        .map_groups(asof_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    # -1 sentinel for "no prior order" keeps the column int64 on both
+    # sides (nullable BIGINT would come back float64 from one engine and
+    # int64 from the other depending on null presence)
+    out["last_orderkey"] = out["last_orderkey"].fillna(-1).astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -871,6 +949,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "ivf_topk": q_ivf_topk,
+    "asof_event_order": q_asof_event_order,
 }
 
 ORACLE_SQL = {
@@ -1012,6 +1091,15 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "asof_event_order": """
+        SELECT e.event_id, e.user_id, e.ts,
+               COALESCE((SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                LIMIT 1), -1) AS last_orderkey
+        FROM events e
+        ORDER BY e.event_id
     """,
     "user_sessions": """
         WITH flagged AS (
