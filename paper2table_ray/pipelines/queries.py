@@ -910,6 +910,80 @@ def q_asof_event_order(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_range_join_order_events(sf_dir: str):
+    """Range (interval) join — the second named custom operator: per
+    order, count the user's events inside [orderdate, orderdate + 24h).
+
+    Ray shape: same one-shuffle user co-location as the as-of join; inside
+    the shard a per-user ``searchsorted`` over the sorted event times
+    answers every order's interval in O(log n) — no quadratic pair
+    intermediate ever materializes."""
+    num_shards = 32
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((uid % num_shards).astype(np.int32)),
+                "is_event": pa.array([True] * batch.num_rows),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "o_orderkey": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array((cust % num_shards).astype(np.int32)),
+                "is_event": pa.array([False] * batch.num_rows),
+                "user_id": batch.column("o_custkey"),
+                "ts": batch.column("o_orderdate"),
+                "o_orderkey": batch.column("o_orderkey"),
+            }
+        )
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    both = events.union(orders)
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["is_event"]]
+        od = g[~g["is_event"]]
+        if od.empty:
+            return pd.DataFrame(columns=["o_orderkey", "n_events_24h"])
+        out_k, out_n = [], []
+        ev_by_user = {u: np.sort(sub["ts"].to_numpy()) for u, sub in ev.groupby("user_id")}
+        day = np.timedelta64(1, "D")
+        for u, sub in od.groupby("user_id"):
+            ts = ev_by_user.get(u)
+            keys = sub["o_orderkey"].to_numpy()
+            starts = sub["ts"].to_numpy()
+            if ts is None or len(ts) == 0:
+                out_k.extend(keys.tolist())
+                out_n.extend([0] * len(keys))
+                continue
+            lo = np.searchsorted(ts, starts, side="left")
+            hi = np.searchsorted(ts, starts + day, side="left")
+            out_k.extend(keys.tolist())
+            out_n.extend((hi - lo).tolist())
+        return pd.DataFrame({"o_orderkey": out_k, "n_events_24h": out_n})
+
+    out = (
+        both.groupby("shard")
+        .map_groups(count_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["n_events_24h"] = out["n_events_24h"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -950,6 +1024,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "ivf_topk": q_ivf_topk,
     "asof_event_order": q_asof_event_order,
+    "range_join_order_events": q_range_join_order_events,
 }
 
 ORACLE_SQL = {
@@ -1100,6 +1175,16 @@ ORACLE_SQL = {
                 LIMIT 1), -1) AS last_orderkey
         FROM events e
         ORDER BY e.event_id
+    """,
+    "range_join_order_events": """
+        SELECT o.o_orderkey, count(e.user_id) AS n_events_24h
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey
     """,
     "user_sessions": """
         WITH flagged AS (
