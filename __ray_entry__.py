@@ -2,9 +2,11 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops) with DuckDB oracles where the semantics
-are SQL-expressible (non-SQL ops — LSH dedup, language-ID, extraction over
-the synthesized interleaved corpus — are rows-only by design).
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 38 queries, 19 with
+DuckDB oracles. Ops whose semantics are not SQL-expressible (LSH dedup,
+language-ID, the cells merge model, extraction over the synthesized
+interleaved corpus) are rows-only by design — their correctness gates are
+the pytest span-equality / brute-force / reference-fixture tests.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
