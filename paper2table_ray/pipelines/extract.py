@@ -250,10 +250,10 @@ def extract_pipeline_fused(
     )
 
 
-def plan_mappings(
+def plan_mappings_ds(
     docs: ray.data.Dataset,
     cache_dir: Optional[str] = None,
-) -> dict:
+) -> ray.data.Dataset:
     """Hybrid-reader analogue (SURVEY.md S6, readers/hybrid.py:68-108):
     an expensive planner produces a per-doc ``TablesMapping`` ONCE, cached
     as ``<doc_id>.mapping.json``, and deterministic extraction then uses
@@ -261,31 +261,39 @@ def plan_mappings(
     (first table's header row → ordinal→name map) so fixtures reproduce;
     the cache check / write flow is real.
 
-    Returns ``{doc_id: mapping}`` for broadcast into ``SpanExtractor``
-    (``ray.put`` once — a broadcast hash join on doc_id, J6)."""
+    Returns a ``Dataset[doc_id, mapping_json]`` side table covering every
+    doc in ``docs`` that has a mapping (cached or freshly planned). The
+    cache is checked AND written inside the map_batches task — one
+    idempotent tmp+``os.replace`` file per doc, never funneled through the
+    driver — so the mapping side scales with the corpus (cache_dir is a
+    shared filesystem at multi-node scale; a Lance/parquet side table is
+    the drop-in alternative)."""
     import json
     import os
+    import uuid
 
     import pyarrow as pa
 
     from ..functions.text import normalize_column_name
     from ..stages.extract import CELL_SEP
 
-    cached: dict = {}
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        for name in os.listdir(cache_dir):
-            if name.endswith(".mapping.json"):
-                doc_id = name.removesuffix(".mapping.json")
-                cached[doc_id] = json.load(open(os.path.join(cache_dir, name)))
 
     def plan_batch(batch: pa.Table) -> pa.Table:
         out_ids, out_maps = [], []
         for doc_id, spans in zip(
             batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
         ):
-            if doc_id in cached:
-                continue  # cache hit → planner not invoked (hybrid.py:77-82)
+            if cache_dir:
+                path = os.path.join(cache_dir, f"{doc_id}.mapping.json")
+                try:
+                    with open(path) as f:
+                        out_ids.append(doc_id)
+                        out_maps.append(f.read())
+                    continue  # cache hit → planner not invoked (hybrid.py:77-82)
+                except FileNotFoundError:
+                    pass
             header = next(
                 (
                     s["text"]
@@ -297,15 +305,25 @@ def plan_mappings(
             if header is None:
                 continue
             cells = header.split(CELL_SEP)
-            mapping = {
-                "header_mode": "all_pages",
-                "column_mappings": {
-                    str(i): normalize_column_name(c) or f"col_{i}"
-                    for i, c in enumerate(cells)
-                },
-            }
+            mapping_json = json.dumps(
+                {
+                    "header_mode": "all_pages",
+                    "column_mappings": {
+                        str(i): normalize_column_name(c) or f"col_{i}"
+                        for i, c in enumerate(cells)
+                    },
+                }
+            )
+            if cache_dir:
+                # in-task idempotent write (unique tmp name per writer so
+                # concurrent retries never clobber each other mid-write)
+                path = os.path.join(cache_dir, f"{doc_id}.mapping.json")
+                tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp, "w") as f:
+                    f.write(mapping_json)
+                os.replace(tmp, path)
             out_ids.append(doc_id)
-            out_maps.append(json.dumps(mapping))
+            out_maps.append(mapping_json)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.string()),
@@ -313,33 +331,77 @@ def plan_mappings(
             }
         )
 
-    fresh = docs.map_batches(plan_batch, batch_format="pyarrow").to_pandas()
-    result = dict(cached)
-    for _, row in fresh.iterrows():
-        mapping = json.loads(row["mapping_json"])
-        result[row["doc_id"]] = mapping
-        if cache_dir:
-            path = os.path.join(cache_dir, f"{row['doc_id']}.mapping.json")
-            tmp = path + ".tmp"
-            json.dump(mapping, open(tmp, "w"))
-            os.replace(tmp, path)
+    return docs.map_batches(plan_batch, batch_format="pyarrow")
+
+
+def plan_mappings(
+    docs: ray.data.Dataset,
+    cache_dir: Optional[str] = None,
+) -> dict:
+    """Small-side compatibility wrapper over :func:`plan_mappings_ds`:
+    collects the mapping side table to a ``{doc_id: mapping}`` dict for
+    ``ray.put`` broadcast (J6). Use ONLY when the mapping count is known
+    to be driver-sized; large corpora should pass the Dataset from
+    ``plan_mappings_ds`` straight to ``extract_spans_mapped``, which
+    size-gates broadcast vs a doc_id hash join."""
+    import json
+
+    result: dict = {}
+    for batch in plan_mappings_ds(docs, cache_dir=cache_dir).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for doc_id, mj in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("mapping_json").to_pylist(),
+        ):
+            result[doc_id] = json.loads(mj)
     return result
 
 
 def extract_spans_mapped(
     docs: ray.data.Dataset,
-    mappings: dict,
+    mappings,
     config: Optional[ExtractConfig] = None,
     batch_size: int = 32,
     concurrency=None,
+    broadcast_limit: int = 200_000,
+    num_shards: int = 64,
 ) -> ray.data.Dataset:
-    """Mapped (hybrid) extraction: the mappings dict ships to the actor
-    pool via ``ray.put`` once, resolved per actor in ``__init__``."""
+    """Mapped (hybrid) extraction.
+
+    ``mappings`` is either a ``{doc_id: mapping}`` dict (legacy small-side
+    path: shipped to the actor pool via ``ray.put`` once, resolved per
+    actor in ``__init__``) or a ``Dataset[doc_id, mapping_json]`` from
+    :func:`plan_mappings_ds`. For a Dataset the broadcast is SIZE-GATED:
+    ≤ ``broadcast_limit`` mappings are collected and broadcast (bounded
+    driver memory, one ``ray.put``); above the bound the mapping side is
+    hash-joined to docs on doc_id via a coarse-shard co-partition (both
+    sides stamped with ``hash(doc_id) % num_shards``, one shuffle, the
+    in-shard task builds a local dict and extracts) — no driver
+    materialization of a corpus-scaled side."""
     import ray
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = (1, max(2, cpus))
+
+    if isinstance(mappings, ray.data.Dataset):
+        n_mappings = mappings.count()
+        if n_mappings > broadcast_limit:
+            return _extract_mapped_shardjoin(
+                docs, mappings, config, num_shards=num_shards
+            )
+        import json
+
+        collected: dict = {}
+        for batch in mappings.iter_batches(batch_format="pyarrow"):
+            for doc_id, mj in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("mapping_json").to_pylist(),
+            ):
+                collected[doc_id] = json.loads(mj)
+        mappings = collected
+
     return docs.map_batches(
         SpanExtractor,
         fn_constructor_kwargs={
@@ -350,6 +412,86 @@ def extract_spans_mapped(
         batch_size=batch_size,
         zero_copy_batch=True,
         concurrency=concurrency,
+    )
+
+
+def _extract_mapped_shardjoin(
+    docs: ray.data.Dataset,
+    mappings: ray.data.Dataset,
+    config: Optional[ExtractConfig] = None,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Scale path for mapped extraction: co-partition docs and mappings on
+    ``hash(doc_id) % num_shards`` (one union + one coarse-shard groupby —
+    the same O(num_shards)-scheduling shape as stages/shuffle.groupby_apply),
+    then build the per-shard ``{doc_id: mapping}`` dict in-task and run the
+    extractor over that shard's docs. Neither side touches the driver."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..schema import SPANS_OUT_SCHEMA
+
+    cfg = config or ExtractConfig()
+
+    def _shard_of(batch: pa.Table) -> pa.Array:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids)) % np.uint64(num_shards)
+        return pa.array(h.astype(np.int32))
+
+    def stamp_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__shard": _shard_of(batch),
+                "doc_id": batch.column("doc_id"),
+                "spans": batch.column("spans"),
+                "mapping_json": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def stamp_maps(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        from ..schema import SPAN_STRUCT
+
+        return pa.table(
+            {
+                "__shard": _shard_of(batch),
+                "doc_id": batch.column("doc_id"),
+                "spans": pa.nulls(n, pa.list_(SPAN_STRUCT)),
+                "mapping_json": batch.column("mapping_json"),
+            }
+        )
+
+    unioned = docs.map_batches(stamp_docs, batch_format="pyarrow").union(
+        mappings.map_batches(stamp_maps, batch_format="pyarrow")
+    )
+
+    def run_shard(shard: pa.Table) -> pa.Table:
+        is_map = pc.is_valid(shard.column("mapping_json"))
+        maps_tbl = shard.filter(is_map)
+        docs_tbl = shard.filter(pc.invert(is_map))
+        local = {
+            d: json.loads(m)
+            for d, m in zip(
+                maps_tbl.column("doc_id").to_pylist(),
+                maps_tbl.column("mapping_json").to_pylist(),
+            )
+        }
+        if docs_tbl.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t.type) for t in SPANS_OUT_SCHEMA],
+                schema=SPANS_OUT_SCHEMA,
+            )
+        extractor = SpanExtractor(cfg, mappings=local)
+        return extractor(docs_tbl.select(["doc_id", "spans"]))
+
+    return (
+        unioned.repartition(num_shards)
+        .groupby("__shard")
+        .map_groups(run_shard, batch_format="pyarrow")
     )
 
 

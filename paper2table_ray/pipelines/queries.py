@@ -41,7 +41,13 @@ def _synth_cells(sf_dir: str, runs: int = 3):
     would re-run the python-heavy synthesis 4×. Small (≈50 MB at sf0.1)."""
     from ..sources.resultsets import synth_resultsets_dataset
 
-    key = (sf_dir, runs)
+    # the Ray job id is part of the key: after a ray.shutdown()+re-init in
+    # the same process, cached Datasets hold dead object refs — a new job
+    # id invalidates them instead of failing opaquely.
+    job_id = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    )
+    key = (sf_dir, runs, job_id)
     if key not in _SYNTH_CELLS_CACHE:
         _SYNTH_CELLS_CACHE.clear()
         _SYNTH_CELLS_CACHE[key] = synth_resultsets_dataset(
@@ -137,47 +143,54 @@ def q_lineitem_agg(sf_dir: str):
 
 
 def q_orders_by_nation(sf_dir: str):
-    """Broadcast hash join: orders ⨝ customer ⨝ nation with both dimension
-    sides shipped once via ray.put and probed per batch (no shuffle —
-    SURVEY.md §2.4 J6 pattern)."""
-    customer = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+    """orders ⨝ customer ⨝ nation via the size-gated ``hash_join``
+    (stages/joins.py): customer is fact-scaled, so it broadcasts only
+    below the bound (vectorized searchsorted probe, no Python dict on the
+    driver) and hash-shard-joins above it; nation is a true dimension.
+    Unmatched custkeys follow SQL inner-join semantics (dropped), not
+    KeyError. The nation-name attach + per-batch partial aggregation are
+    fused into the probe task via ``post`` so the fat joined intermediate
+    never hits the object store."""
+    from ..stages.joins import hash_join
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    cust_to_nation = dict(
-        zip(
-            customer.column("c_custkey").to_pylist(),
-            customer.column("c_nationkey").to_pylist(),
-        )
-    )
-    nation_name = dict(
-        zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist(),
-        )
-    )
-    lookup_ref = ray.put((cust_to_nation, nation_name))
+    n_keys = nation.column("n_nationkey").to_numpy()
+    n_order = np.argsort(n_keys, kind="stable")
+    n_sorted = n_keys[n_order]
+    n_names = nation.column("n_name").take(pa.array(n_order))
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        c2n, n2name = ray.get(lookup_ref)
-        custkeys = batch.column("o_custkey").to_pylist()
-        names = [n2name[c2n[k]] for k in custkeys]
-        return pa.table(
+    def attach_nation_and_preagg(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(n_sorted, nk)
+        names = n_names.take(pa.array(np.minimum(pos, len(n_sorted) - 1)))
+        df = pd.DataFrame(
             {
-                "n_name": pa.array(names, type=pa.string()),
-                "o_totalprice": batch.column("o_totalprice"),
+                "n_name": names.to_pandas(),
+                "o_totalprice": batch.column("o_totalprice").to_numpy(),
             }
         )
+        g = df.groupby("n_name", as_index=False).agg(
+            p_price=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(join_batch, batch_format="pyarrow", batch_size=65536)
+    joined = hash_join(
+        orders,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        right_columns=["c_nationkey"],
+        post=attach_nation_and_preagg,
+    )
     out = (
         joined.groupby("n_name")
         .aggregate(
-            Sum("o_totalprice", alias_name="total_price"),
-            Count(alias_name="order_count"),
+            Sum("p_price", alias_name="total_price"),
+            Sum("p_n", alias_name="order_count"),
         )
         .to_pandas()
     )
@@ -432,39 +445,42 @@ def q_extract_kind_stats(sf_dir: str):
 
 def q_top_orders_per_nation(sf_dir: str):
     """Per-group top-N (window function shape): 3 priciest orders per
-    nation. Dimension lookups broadcast; the top-N runs per nation group
-    (25 groups — group count is the dimension's cardinality, so
-    ``map_groups`` per-group overhead is bounded)."""
-    customer = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+    nation. The customer side goes through the size-gated ``hash_join``
+    (no Python dict of a fact-scaled table on the driver; unmatched
+    custkeys drop per inner-join semantics); nation is a true-dimension
+    broadcast probed vectorized. ``post`` fuses the nation attach AND a
+    per-batch partial top-3-per-nation prune into the probe task, so only
+    ≤ 3×25 rows per batch cross the groupby shuffle. The final top-N runs
+    per nation group (25 groups — group count is the dimension's
+    cardinality, so ``map_groups`` per-group overhead is bounded)."""
+    from ..stages.joins import hash_join
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    c2n = dict(
-        zip(
-            customer.column("c_custkey").to_pylist(),
-            customer.column("c_nationkey").to_pylist(),
-        )
-    )
-    n2name = dict(
-        zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist(),
-        )
-    )
-    lookup_ref = ray.put((c2n, n2name))
+    n_keys = nation.column("n_nationkey").to_numpy()
+    n_order = np.argsort(n_keys, kind="stable")
+    n_sorted = n_keys[n_order]
+    n_names = nation.column("n_name").take(pa.array(n_order))
 
-    def tag(batch: pa.Table) -> pa.Table:
-        cc, nn = ray.get(lookup_ref)
-        names = [nn[cc[k]] for k in batch.column("o_custkey").to_pylist()]
-        return pa.table(
+    def attach_and_prune(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(n_sorted, nk)
+        names = n_names.take(pa.array(np.minimum(pos, len(n_sorted) - 1)))
+        df = pd.DataFrame(
             {
-                "n_name": pa.array(names, type=pa.string()),
-                "o_orderkey": batch.column("o_orderkey"),
-                "o_totalprice": batch.column("o_totalprice"),
+                "n_name": names.to_pandas(),
+                "o_orderkey": batch.column("o_orderkey").to_numpy(),
+                "o_totalprice": batch.column("o_totalprice").to_numpy(),
             }
         )
+        pruned = (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("n_name", as_index=False)
+            .head(3)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
@@ -473,7 +489,14 @@ def q_top_orders_per_nation(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     out = (
-        orders.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        hash_join(
+            orders,
+            customer,
+            "o_custkey",
+            "c_custkey",
+            right_columns=["c_nationkey"],
+            post=attach_and_prune,
+        )
         .groupby("n_name")
         .map_groups(topn, batch_format="pandas")
         .to_pandas()
@@ -518,18 +541,16 @@ def q_customers_no_orders(sf_dir: str):
 
 
 def q_revenue_by_brand(sf_dir: str):
-    """Fact ⨝ small dimension via broadcast (ray.put once, probed per
-    batch) + combiner pre-aggregation before the tiny final groupby."""
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    brand_of = dict(
-        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
-    )
-    brand_ref = ray.put(brand_of)
+    """Fact ⨝ part via the size-gated ``hash_join`` (part is fact-scaled
+    in TPC-H — broadcast only below the bound, vectorized searchsorted
+    probe, hash-shard join above) with the combiner pre-aggregation fused
+    into the probe task via ``post`` before the tiny final groupby."""
+    from ..stages.joins import hash_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(brand_ref)
         df = batch.to_pandas()
-        df["p_brand"] = df["l_partkey"].map(lookup)
         df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("p_brand", as_index=False).agg(
             p_rev=("rev", "sum"), p_n=("rev", "size")
@@ -538,7 +559,14 @@ def q_revenue_by_brand(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        hash_join(
+            ds,
+            part,
+            "l_partkey",
+            "p_partkey",
+            right_columns=["p_brand"],
+            post=partial,
+        )
         .groupby("p_brand")
         .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n_items"))
         .to_pandas()
@@ -743,12 +771,14 @@ def q_extract_windowed(sf_dir: str):
 
 def q_extract_mapped(sf_dir: str):
     """Hybrid-reader analogue (SURVEY.md S6): deterministic planner stub
-    produces per-doc column mappings (broadcast via ray.put), mapped
-    extraction applies ordinal select + rename; rows-only."""
-    from .extract import extract_spans_mapped, plan_mappings, synth_docs_dataset
+    produces per-doc column mappings as a ``Dataset`` side table (no
+    driver materialization of the mapping set — extract_spans_mapped
+    size-gates broadcast vs doc_id hash join); mapped extraction applies
+    ordinal select + rename; rows-only."""
+    from .extract import extract_spans_mapped, plan_mappings_ds, synth_docs_dataset
 
     docs = synth_docs_dataset(sf_dir).materialize()
-    mappings = plan_mappings(docs)
+    mappings = plan_mappings_ds(docs)
     out = extract_spans_mapped(docs, mappings).to_pandas()
     return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 

@@ -111,6 +111,30 @@ class TestMapped:
         out_plain = _spans_df(extract_spans(self._table_doc()))
         pd.testing.assert_frame_equal(out_mapped, out_plain)
 
+    def test_shardjoin_path_bit_identical_to_broadcast(self):
+        # force the >broadcast_limit hash-join path and compare against the
+        # broadcast path over the full sf corpus
+        from paper2table_ray.pipelines.extract import plan_mappings_ds
+
+        docs = synth_docs_dataset(SF).materialize()
+        mappings_ds = plan_mappings_ds(docs).materialize()
+        broadcast = _spans_df(extract_spans_mapped(docs, mappings_ds))
+        joined = _spans_df(
+            extract_spans_mapped(docs, mappings_ds, broadcast_limit=0, num_shards=8)
+        )
+        pd.testing.assert_frame_equal(broadcast, joined)
+
+    def test_plan_mappings_ds_matches_dict_wrapper(self):
+        from paper2table_ray.pipelines.extract import plan_mappings_ds
+
+        docs = self._table_doc()
+        via_ds = {
+            r["doc_id"]: json.loads(r["mapping_json"])
+            for r in plan_mappings_ds(docs).take_all()
+        }
+        assert via_ds == plan_mappings(self._table_doc())
+        assert "docm" in via_ds
+
     def test_plan_mappings_cache_roundtrip(self, tmp_path):
         docs = self._table_doc()
         m1 = plan_mappings(docs, cache_dir=str(tmp_path))
