@@ -410,11 +410,15 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (rows-only)."""
-    from ..stages.ann import embedding_cosine_dedup_pairs
+    """Embedding-cosine near-dup pairs via the EXACT blocked-matmul
+    baseline (DuckDB ``list_cosine_similarity`` oracle — threshold 0.45
+    emits rows at every driver sf, so the emit path is verified, not just
+    the empty path). The LSH scale variant is recall-tested against this
+    exact output in tests/test_dedup_ann.py."""
+    from ..stages.ann import embedding_dedup_pairs_exact
 
     ds = _read(sf_dir, "embeddings")
-    out = embedding_cosine_dedup_pairs(ds, threshold=0.98, n_bits=6, dim=64)
+    out = embedding_dedup_pairs_exact(ds, threshold=0.45)
     df = out.to_pandas()
     if len(df):
         df = df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -1154,6 +1158,13 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "embedding_dedup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b
     """,
     "top_orders_per_nation": """
         SELECT n_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice

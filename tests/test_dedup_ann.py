@@ -181,6 +181,64 @@ class TestANN:
         got = pairs.to_pandas()
         assert {(a, b) for a, b in zip(got["id_a"], got["id_b"])} == {(1, 2)}
 
+    def test_exact_dedup_pairs_match_bruteforce(self):
+        from paper2table_ray.stages.ann import embedding_dedup_pairs_exact
+
+        got = (
+            embedding_dedup_pairs_exact(self._embeddings(), threshold=0.45)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = np.asarray(t.column("vec_id"))
+        sims = mn @ mn.T
+        ia, ib = np.nonzero((sims >= 0.45) & (ids[:, None] < ids[None, :]))
+        expect = sorted(zip(ids[ia].tolist(), ids[ib].tolist()))
+        assert list(zip(got["id_a"], got["id_b"])) == expect
+        assert len(expect) > 0  # non-trivial: the emit path is exercised
+
+    def test_exact_dedup_raises_above_broadcast_limit(self):
+        from paper2table_ray.stages.ann import embedding_dedup_pairs_exact
+
+        with pytest.raises(ValueError, match="LSH scale path"):
+            embedding_dedup_pairs_exact(
+                self._embeddings(), threshold=0.45, broadcast_limit=10
+            )
+
+    def test_lsh_dedup_recall_vs_exact(self):
+        """The LSH scale path must recover a floor fraction of the exact
+        pairs on real driver data (recall is per-bucket; n_bits trades
+        recall for candidate-set size)."""
+        from paper2table_ray.stages.ann import embedding_dedup_pairs_exact
+
+        exact = embedding_dedup_pairs_exact(
+            self._embeddings(), threshold=0.45
+        ).to_pandas()
+        approx = embedding_cosine_dedup_pairs(
+            self._embeddings(), threshold=0.45, n_bits=4, n_bands=8, dim=64
+        ).to_pandas()
+        exact_set = set(zip(exact["id_a"], exact["id_b"]))
+        approx_set = set(zip(approx["id_a"], approx["id_b"]))
+        assert approx_set <= exact_set  # verify stage is exact → no FPs
+        assert len(approx) == len(approx_set)  # first-band emit → no dupes
+        assert len(exact_set) > 0
+        # sign-LSH theory at s=0.45: p=1-arccos(.45)/pi≈0.648, band p^4≈.18,
+        # 8 bands → expected recall ≈ 0.79; assert a loose floor
+        recall = len(approx_set & exact_set) / len(exact_set)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+    def test_lsh_dedup_shardjoin_verify_equals_broadcast(self):
+        kw = dict(threshold=0.45, n_bits=4, n_bands=8, dim=64)
+        bc = embedding_cosine_dedup_pairs(self._embeddings(), **kw).to_pandas()
+        sj = embedding_cosine_dedup_pairs(
+            self._embeddings(), verify_broadcast_limit=0, num_shards=8, **kw
+        ).to_pandas()
+        key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
+        assert key(bc) == key(sj)
+
     def test_sign_lsh_deterministic(self):
         ix1 = SignLSHIndexer(4, n_bits=4, seed=7)
         ix2 = SignLSHIndexer(4, n_bits=4, seed=7)
