@@ -66,6 +66,10 @@ class MergeConfig:
     filter_title_rows: bool = True
     source_order: Optional[List[str]] = None
     page_offsets: Dict[str, int] = field(default_factory=dict)
+    # per-(canonical doc, source) page offsets carried by paper aliases
+    # (reference group_tablesfiles offsets, __main__.py:149-162): additive
+    # with the per-source offsets above
+    doc_source_offsets: Dict[tuple, int] = field(default_factory=dict)
     drop_empty_columns: bool = True
     drop_empty_tables: bool = True
 
@@ -123,7 +127,10 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
         ):
             continue  # skip all-empty sources (tablemerge __main__.py:208-212)
         tablesfiles.append(tf)
-        offsets.append(config.page_offsets.get(uuid, 0))
+        offsets.append(
+            config.page_offsets.get(uuid, 0)
+            + config.doc_source_offsets.get((doc_id, uuid), 0)
+        )
     if not tablesfiles:
         return []
 

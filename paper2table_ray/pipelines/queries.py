@@ -702,10 +702,13 @@ def q_media_features(sf_dir: str):
 
 def q_filenorm_plan(sf_dir: str):
     """filenorm dedup/rename plan (SURVEY.md O6) over synthetic
-    (path, md5) rows derived from the documents table — the distributed
-    hash runs in Ray; the sequential keep/rename fold is driver-side by
-    design (matches the reference's one-pass semantics)."""
-    from ..stages.filenorm import plan_actions
+    (path, md5) rows derived from the documents table. Both phases run
+    distributed: the md5 hash per batch, then the keep/rename fold via
+    ``plan_actions_distributed`` (per-hash keep replay + per-collision-
+    family rename replay, coarse-shard grouped — exact parity with the
+    reference's sequential pass, proven in tests/test_misc_ops.py).
+    DuckDB-oracled."""
+    from ..stages.filenorm import plan_actions_distributed
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -716,7 +719,7 @@ def q_filenorm_plan(sf_dir: str):
         texts = batch.column("text").to_pylist()
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "pos": pa.array(ids, type=pa.int64()),
                 "path": pa.array(
                     [f"papers/Paper {i:06d}.TXT" for i in ids], type=pa.string()
                 ),
@@ -727,20 +730,9 @@ def q_filenorm_plan(sf_dir: str):
             }
         )
 
-    hashed = ds.map_batches(hash_rows, batch_format="pyarrow").to_pandas()
-    hashed = hashed.sort_values("doc_id")  # deterministic input order
-    duplicates, renames, _ = plan_actions(
-        list(zip(hashed["path"], hashed["content_md5"]))
-    )
-    actions = [
-        {"action": "drop", "path": p, "target": md5}
-        for md5, paths in sorted(duplicates.items())
-        for p in paths
-    ] + [
-        {"action": "rename", "path": p, "target": new}
-        for p, new in sorted(renames.items())
-    ]
-    return pd.DataFrame(actions, columns=["action", "path", "target"])
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow")
+    out = plan_actions_distributed(hashed).to_pandas()
+    return out.sort_values(["action", "path"]).reset_index(drop=True)
 
 
 def q_lineage_resume(sf_dir: str):
@@ -788,35 +780,114 @@ def q_extract_mapped(sf_dir: str):
 
 
 def q_scientific_names(sf_dir: str):
-    """Scientific-name canonicalization (SURVEY.md M6, gnparser analogue)
-    over the synthetic resultsets' scientific_name cells; rows-only."""
+    """Scientific-name canonicalization (SURVEY.md M6, gnparser analogue),
+    DuckDB-oracled: raw names are built deterministically from doc_id over
+    the fixed SPECIES list — authorship, hybrid marks, rank suffixes,
+    case-mangling and multi-name separators all exercised — and run
+    through the real ``canonicalize_multi``; the oracle rebuilds the raws
+    in SQL and re-implements the canonical grammar with RE2 regexes.
+    (The resultsets-corpus canonicalization path stays covered by the
+    merge-pipeline pytest suite.)"""
     from ..functions.scientific import canonicalize_multi
-    from ..sources.resultsets import synth_resultsets_dataset
+    from ..sources.synth import SPECIES
 
-    cells = synth_resultsets_dataset(sf_dir, runs=1)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
-    def canon(batch: pa.Table) -> pd.DataFrame:
-        from ..schema import table_to_row_records
-
+    def build(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         rows = []
-        for rec in table_to_row_records(batch):
-            val = rec["cells"].get("scientific_name")
-            if isinstance(val, str) and val:
-                rows.append(
-                    {
-                        "doc_id": rec["doc_id"],
-                        "raw": val,
-                        "canonical": canonicalize_multi(val),
-                    }
-                )
+        for i in ids:
+            i = int(i)
+            s = SPECIES[i % len(SPECIES)]
+            d = i % 6
+            if d == 1:
+                raw = s + " var. alba Mill."
+            elif d == 2:
+                raw = "× " + s
+            elif d == 3:
+                raw = s.upper()
+            elif d == 4:
+                raw = s + " subsp. minor"
+            elif d == 5:
+                raw = s + " / " + SPECIES[(i + 3) % len(SPECIES)]
+            else:
+                raw = s
+            rows.append(
+                {"doc_id": i, "raw": raw, "canonical": canonicalize_multi(raw)}
+            )
         return pd.DataFrame(rows, columns=["doc_id", "raw", "canonical"])
 
-    out = cells.map_batches(canon, batch_format="pyarrow").to_pandas()
-    return (
-        out.drop_duplicates()
-        .sort_values(["doc_id", "raw"])
-        .reset_index(drop=True)
-    )
+    out = ds.map_batches(build, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink ROUND-TRIP (table2csv, SURVEY.md S13) with a DuckDB
+    oracle: a deterministic cells corpus derived from the documents table
+    goes through the real ``write_csvs`` file sink; the written CSVs are
+    read back and flattened to a long (doc_id, table_idx, csv_row,
+    column, value) frame, which the oracle reproduces with an UNPIVOT.
+    Verifies header order, ``$page`` stamping and value stringification
+    through the actual files on disk."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..schema import rows_to_table
+    from .export import write_csvs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        recs = []
+        for r in batch.to_pylist():
+            recs.append(
+                {
+                    "doc_id": f"doc{r['doc_id']:06d}",
+                    "source_uuid": "run-x",
+                    "table_idx": 0,
+                    "fragment_idx": 0,
+                    "page": 1,
+                    "pos": 0,
+                    "row_idx": 0,
+                    "agreement_level": 1,
+                    "sources": ["run-x"],
+                    "cells": {
+                        "lang": r["lang"],
+                        "source": r["source"],
+                        "n_chars": str(r["n_chars"]),
+                    },
+                    "citation": "",
+                }
+            )
+        return rows_to_table(recs)
+
+    cells = ds.map_batches(to_cells, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="p2t_csv_", dir="/tmp")
+    try:
+        paths = write_csvs(cells, out_dir)
+        frames = []
+        for p in sorted(paths):
+            doc_id, t_idx = os.path.basename(p)[:-4].rsplit("_", 1)
+            df = pd.read_csv(p, dtype=str, keep_default_na=False)
+            long = (
+                df.reset_index()
+                .melt(id_vars="index", var_name="column", value_name="value")
+                .rename(columns={"index": "csv_row"})
+            )
+            long["doc_id"] = doc_id
+            long["table_idx"] = int(t_idx)
+            frames.append(long)
+        out = pd.concat(frames, ignore_index=True)
+        out["csv_row"] = out["csv_row"].astype("int64")
+        out["table_idx"] = out["table_idx"].astype("int64")
+        return (
+            out[["doc_id", "table_idx", "csv_row", "column", "value"]]
+            .sort_values(["doc_id", "table_idx", "csv_row", "column"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_csv_export(sf_dir: str):
@@ -1054,6 +1125,7 @@ QUERIES = {
     "extract_mapped": q_extract_mapped,
     "scientific_names": q_scientific_names,
     "csv_export": q_csv_export,
+    "csv_roundtrip": q_csv_roundtrip,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "ivf_topk": q_ivf_topk,
@@ -1061,7 +1133,72 @@ QUERIES = {
     "range_join_order_events": q_range_join_order_events,
 }
 
+def _canon_sql(col: str) -> str:
+    """SQL re-implementation of functions/scientific.canonicalize_
+    scientific_name for ORACLE use: genus+epithet extraction, optional
+    hybrid-mark drop, one canonical-spelling rank pair (var./subsp./f.)
+    picked up only when it directly follows the epithet (authorship stops
+    parsing, as in the Python grammar), pass-through otherwise."""
+    g2 = "'^(?:[×x] )?([A-ZÀ-Þ][a-zà-ÿ-]+) ([a-zà-ÿ-]+)'"
+    guard = f"regexp_matches({col}, '^(?:[×x] )?[A-ZÀ-Þ][a-zà-ÿ-]+ [a-zà-ÿ-]+($| )')"
+    rank = "'^(?:[×x] )?[A-ZÀ-Þ][a-zà-ÿ-]+ [a-zà-ÿ-]+ (var|subsp|f)\\. ([a-zà-ÿ-]+)($| )'"
+    return (
+        f"CASE WHEN {guard} THEN "
+        f"regexp_extract({col}, {g2}, 1) || ' ' || regexp_extract({col}, {g2}, 2) || "
+        f"CASE WHEN regexp_matches({col}, {rank}) THEN "
+        f"' ' || regexp_extract({col}, {rank}, 1) || '. ' || "
+        f"regexp_extract({col}, {rank}, 2) ELSE '' END "
+        f"ELSE {col} END"
+    )
+
+
+_SPECIES_VALUES = (
+    "(0, 'Ammi majus L.'), (1, 'Rosa canina L.'), (2, 'Mentha spicata L.'), "
+    "(3, 'Helianthus annuus'), (4, 'Vicia faba L.'), (5, 'Zea mays L.'), "
+    "(6, 'Brassica napus L.'), (7, 'Solanum lycopersicum'), "
+    "(8, 'Orchis mascula'), (9, 'Pinus sylvestris L.')"
+)
+
+
 ORACLE_SQL = {
+    "scientific_names": f"""
+        WITH species(idx, name) AS (
+            SELECT * FROM (VALUES {_SPECIES_VALUES})
+        ), base AS (
+            SELECT d.doc_id, d.doc_id % 6 AS dec,
+                   s1.name AS s1, s2.name AS s2
+            FROM documents d
+            JOIN species s1 ON s1.idx = d.doc_id % 10
+            JOIN species s2 ON s2.idx = (d.doc_id + 3) % 10
+        ), built AS (
+            SELECT doc_id, dec, s1, s2,
+                   CASE dec WHEN 1 THEN s1 || ' var. alba Mill.'
+                            WHEN 2 THEN '× ' || s1
+                            WHEN 3 THEN upper(s1)
+                            WHEN 4 THEN s1 || ' subsp. minor'
+                            ELSE s1 END AS p1
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN dec = 5 THEN s1 || ' / ' || s2 ELSE p1 END AS raw,
+               CASE WHEN dec = 5
+                    THEN {_canon_sql('p1')} || ', ' || {_canon_sql('s2')}
+                    ELSE {_canon_sql('p1')} END AS canonical
+        FROM built
+        ORDER BY doc_id
+    """,
+    "csv_roundtrip": """
+        WITH base AS (
+            SELECT 'doc' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
+                   0::BIGINT AS table_idx, 0::BIGINT AS csv_row,
+                   lang, source, n_chars::VARCHAR AS n_chars,
+                   '1' AS "$page"
+            FROM documents
+        )
+        SELECT doc_id, table_idx, csv_row, "column", value
+        FROM base UNPIVOT (value FOR "column" IN (lang, source, n_chars, "$page"))
+        ORDER BY doc_id, table_idx, csv_row, "column"
+    """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1158,6 +1295,31 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "filenorm_plan": """
+        WITH hashed AS (
+            SELECT doc_id,
+                   'papers/Paper ' || lpad(doc_id::VARCHAR, 6, '0') || '.TXT'
+                       AS path,
+                   md5(text) AS content_md5
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY content_md5 ORDER BY doc_id) AS rn
+            FROM hashed
+        )
+        -- this corpus's paths are equal-length and unique, so the
+        -- reference keep rule reduces to first-in-input-order; every
+        -- keeper renames ('Paper NNNNNN.TXT' → 'paper_nnnnnn.txt') with
+        -- no collisions
+        SELECT * FROM (
+            SELECT 'drop' AS action, path, content_md5 AS target
+            FROM ranked WHERE rn > 1
+            UNION ALL
+            SELECT 'rename' AS action, path,
+                   'paper_' || lpad(doc_id::VARCHAR, 6, '0') || '.txt' AS target
+            FROM ranked WHERE rn = 1
+        ) ORDER BY action, path
     """,
     "embedding_dedup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

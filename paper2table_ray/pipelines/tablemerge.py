@@ -28,7 +28,7 @@ import pandas as pd
 
 from ..functions.text import parse_hints
 from ..sources.tablesfile_json import load_metadata, read_resultsets, write_resultset
-from ..stages.aligners import parse_column_aliases
+from ..stages.aligners import parse_column_aliases, parse_paper_aliases
 from ..state.settings import MergeSettings
 from .merge import MergeConfig, merge_pipeline
 
@@ -48,6 +48,28 @@ def settings_to_config(
         drop_empty_columns=settings.drop_empty_columns,
         drop_empty_tables=settings.drop_empty_tables,
     )
+
+
+def apply_paper_aliases(cells, paper_aliases: dict):
+    """Distributed doc-level aliasing (the cells analogue of the
+    reference's file-level group_tablesfiles, __main__.py:149-162): rows
+    whose doc_id is an alias stem are renamed to the canonical doc so the
+    merge groupby co-locates them. Page offsets ride separately via
+    ``MergeConfig.doc_source_offsets`` (the merger adjusts pages during
+    fragment clustering, keeping the left fragment's display page, exactly
+    like the reference)."""
+    import pyarrow as pa
+
+    rename = {alias: canon for alias, (canon, _off) in paper_aliases.items()}
+
+    def remap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = pa.array([rename.get(d, d) for d in ids], type=pa.string())
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id", out
+        )
+
+    return cells.map_batches(remap, batch_format="pyarrow")
 
 
 def merged_uuid_for(resultset_dirs: List[str]) -> str:
@@ -81,12 +103,31 @@ def run_tablemerge(
             uuid_to_reader[os.path.basename(os.path.normpath(d))] = None
 
     cells = read_resultsets(resultset_dirs)
+
+    paper_aliases = parse_paper_aliases(settings.paper_aliases or "")
+    doc_source_offsets = {}
+    if paper_aliases:
+        cells = apply_paper_aliases(cells, paper_aliases)
+        # per-(canonical, source) offsets from the file listing (driver-
+        # side file METADATA only — tiny; reference __main__.py:149-162)
+        for d in resultset_dirs:
+            uuid = os.path.basename(os.path.normpath(d))
+            for name in os.listdir(d):
+                if not name.endswith(".tables.json"):
+                    continue
+                stem = name.removesuffix(".tables.json")
+                alias = paper_aliases.get(stem)
+                if alias and alias[1]:
+                    doc_source_offsets[(alias[0], uuid)] = alias[1]
+
     if paper:
         import re as _re
 
         import pyarrow as pa
 
-        pattern = _re.compile(paper)
+        # reference filter_groups_by_paper (__main__.py:165-174): regex
+        # fullmatch on the stem, '.tables.json' stripped from the filter
+        pattern = _re.compile(paper.removesuffix(".tables.json"))
 
         def keep(batch: pa.Table) -> pa.Table:
             mask = pa.array(
@@ -96,6 +137,7 @@ def run_tablemerge(
 
         cells = cells.map_batches(keep, batch_format="pyarrow")
     cfg = settings_to_config(settings, uuid_to_reader)
+    cfg.doc_source_offsets = doc_source_offsets
     merged = merge_pipeline(cells, cfg)
 
     uuid = resultset_uuid or merged_uuid_for(resultset_dirs)

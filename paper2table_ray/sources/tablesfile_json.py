@@ -237,6 +237,46 @@ def read_resultsets(resultset_dirs: List[str]) -> ray.data.Dataset:
     return ds.map_batches(parse_batch, batch_format="pyarrow")
 
 
+def group_tablesfiles(
+    resultset_dirs: List[str],
+    paper_aliases: Optional[dict] = None,
+) -> dict:
+    """File-level paper grouping (reference tablemerge/__main__.py:149-162):
+    ``*.tables.json`` across dirs grouped under their canonical name,
+    aliases (``{stem: (canonical, page_offset)}`` from
+    stages/aligners.parse_paper_aliases) mapping stems and carrying per-
+    source page offsets. Returns ``{canonical_name: [(dir, filename,
+    offset)]}``. The distributed cells-level analogue is
+    ``pipelines.tablemerge.apply_paper_aliases``."""
+    import glob as _glob
+
+    paper_aliases = paper_aliases or {}
+    groups: dict = {}
+    for d in resultset_dirs:
+        for p in sorted(_glob.glob(os.path.join(d, "*.tables.json"))):
+            actual = os.path.basename(p)
+            stem = actual.removesuffix(".tables.json")
+            alias = paper_aliases.get(stem)
+            canonical = (alias[0] if alias else stem) + ".tables.json"
+            offset = alias[1] if alias else 0
+            groups.setdefault(canonical, []).append((d, actual, offset))
+    return groups
+
+
+def filter_groups_by_paper(groups: dict, paper_filter: str) -> dict:
+    """reference tablemerge/__main__.py:165-174: regex fullmatch of the
+    filter (``.tables.json`` suffix stripped from both sides) against each
+    group's canonical stem."""
+    import re as _re
+
+    pattern = paper_filter.removesuffix(".tables.json")
+    return {
+        k: v
+        for k, v in groups.items()
+        if _re.fullmatch(pattern, k.removesuffix(".tables.json"))
+    }
+
+
 def load_metadata(resultset_dir: str) -> Optional[dict]:
     path = os.path.join(resultset_dir, "tables.metadata.json")
     if not os.path.exists(path):

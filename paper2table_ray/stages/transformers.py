@@ -54,21 +54,28 @@ def value_matches_hints(value: rm.ColumnValue, hints_set: Set[str]) -> bool:
     )
 
 
-def is_header_row(row: Row, hints: List[str] = []) -> bool:
-    semantic = any(
+def has_semantic_header_value(row: Row) -> bool:
+    """merge.py:37-42."""
+    return any(
         value_matches_header(col, val)
         for col, val in row["cells"].items()
         if not rm.is_empty_value(val) and is_semantic_column(col)
     )
-    if semantic:
-        return True
-    if not hints:
-        return False
-    hints_set = set(hints)
+
+
+def has_hints_header_value(row: Row, hints_set: Set[str]) -> bool:
+    """merge.py:45-50."""
     return any(
         value_matches_hints(val, hints_set)
         for val in row["cells"].values()
         if not rm.is_empty_value(val)
+    )
+
+
+def is_header_row(row: Row, hints: List[str] = []) -> bool:
+    """merge.py:53-56."""
+    return has_semantic_header_value(row) or (
+        bool(hints) and has_hints_header_value(row, set(hints))
     )
 
 

@@ -65,6 +65,59 @@ class TestFilenorm:
         assert renames["d/a_b.PDF"] == "a_b_1.pdf"
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestFilenormDistributed:
+    # adversarial: duplicate hashes (keep rule all three branches),
+    # rename collisions incl. the suffix-family overlap (x, x_1) and
+    # unicode/case normalization
+    FILES = [
+        ("dir/My File.pdf", "h1"),
+        ("dir/my_file.pdf", "h1"),        # normalized match → kept
+        ("a/longer_name.pdf", "h2"),
+        ("a/x.pdf", "h2"),                # shortest wins
+        ("d/A B.pdf", "h3"),
+        ("d/a_b.PDF", "h4"),              # collides after normalize → _1
+        ("e/a_b_1.pdf", "h5"),            # family overlap with d/a_b.PDF chain
+        ("u/Ünïcode Näme.txt", "h6"),
+        ("z/equal1.pdf", "h7"),
+        ("z/equal2.pdf", "h7"),           # equal length → first kept
+    ]
+
+    def _expected(self):
+        from paper2table_ray.stages.filenorm import plan_actions
+
+        dups, renames, _ = plan_actions(self.FILES)
+        drops = {(p, md5) for md5, ps in dups.items() for p in ps}
+        rens = set(renames.items())
+        return drops, rens
+
+    def test_distributed_matches_sequential_fold(self):
+        import pyarrow as pa
+
+        import ray.data
+        from paper2table_ray.stages.filenorm import plan_actions_distributed
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "pos": pa.array(range(len(self.FILES)), pa.int64()),
+                    "path": pa.array([p for p, _ in self.FILES], pa.string()),
+                    "content_md5": pa.array([h for _, h in self.FILES], pa.string()),
+                }
+            )
+        )
+        out = plan_actions_distributed(ds, num_shards=4).to_pandas()
+        got_drops = {
+            (r.path, r.target) for r in out.itertuples() if r.action == "drop"
+        }
+        got_rens = {
+            (r.path, r.target) for r in out.itertuples() if r.action == "rename"
+        }
+        exp_drops, exp_rens = self._expected()
+        assert got_drops == exp_drops
+        assert got_rens == exp_rens
+
+
 class TestMultimodal:
     def test_fake_backend_deterministic(self):
         b = FakeImageBackend()

@@ -97,3 +97,64 @@ class TestPaperFilterAndColumns:
         assert infer_type("1,200") == "str"
         assert infer_type([{"value": "7", "agreement_level": 1}]) == "int"
         assert infer_type([]) == "str"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPaperAliases:
+    """Doc-level aliasing with page offsets (reference group_tablesfiles,
+    __main__.py:149-162) through the full run_tablemerge lifecycle."""
+
+    def _write_tf(self, d, stem, family, page):
+        os.makedirs(d, exist_ok=True)
+        tf = {
+            "tables": [
+                {
+                    "table_fragments": [
+                        {
+                            "rows": [{"family": family}],
+                            "page": page,
+                        }
+                    ]
+                }
+            ],
+            "citation": "",
+        }
+        with open(os.path.join(d, f"{stem}.tables.json"), "w") as f:
+            json.dump(tf, f)
+
+    def test_alias_merges_across_dirs_with_offset(self, tmp_path):
+        # dir a: paper_v1 on page 10 (alias → paper, offset 3);
+        # dir b: paper on page 13 → same adjusted page → rows merge,
+        # output keeps the LEFT fragment's display page (10)
+        dir_a = str(tmp_path / "run_a")
+        dir_b = str(tmp_path / "run_b")
+        self._write_tf(dir_a, "paper_v1", "Apiaceae", 10)
+        self._write_tf(dir_b, "paper", "Apiaceae", 13)
+        settings = MergeSettings(paper_aliases="paper_v1:paper:3")
+        out_dir = str(tmp_path / "out")
+        summary = run_tablemerge([dir_a, dir_b], out_dir, settings)
+        assert summary["doc_id"].tolist() == ["paper"]
+
+        out = glob.glob(os.path.join(out_dir, "*", "paper.tables.json"))
+        assert len(out) == 1
+        merged = json.load(open(out[0]))
+        table = merged["tables"][0]
+        # single-fragment tables serialize as TableWithRows
+        fragments = table.get("table_fragments") or [table]
+        assert len(fragments) == 1
+        assert fragments[0]["page"] == 10
+        row = fragments[0]["rows"][0]
+        # default settings run with column agreement → vwa-list values;
+        # level 2 proves the offset aligned the pages and the rows merged
+        assert row["family"] == [{"agreement_level": 2, "value": "apiaceae"}]
+        assert row["agreement_level_"] == 2
+
+    def test_paper_filter_strips_tables_json_suffix(self, tmp_path):
+        dir_a = str(tmp_path / "run_a")
+        self._write_tf(dir_a, "foo", "Apiaceae", 1)
+        self._write_tf(dir_a, "bar", "Rosaceae", 1)
+        out_dir = str(tmp_path / "out")
+        summary = run_tablemerge(
+            [dir_a], out_dir, MergeSettings(), paper="foo.tables.json"
+        )
+        assert summary["doc_id"].tolist() == ["foo"]
