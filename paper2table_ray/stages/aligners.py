@@ -250,6 +250,9 @@ class JaccardMergeTimeAnalyzer:
             return [ascii_fold(_WS_RE.sub(" ", value.strip()).lower())]
         return [ascii_fold(_WS_RE.sub(" ", v["value"].strip()).lower()) for v in value]
 
+    # public name parity with the reference (analyzers.py:298)
+    extract_column_str_values = _extract_strs
+
     def _value_set(self, rows: List[Row], column: str) -> Set[str]:
         result: Set[str] = set()
         for row in rows:

@@ -50,6 +50,10 @@ from .transformers import (
 
 CELL_SEP = "\t"
 
+import re as _re
+
+_MULTISPACE_RE = _re.compile(r" {2,}")
+
 
 @dataclass
 class ExtractConfig:
@@ -77,6 +81,11 @@ class ExtractConfig:
     min_text_len: int = 25
     max_link_density: float = 0.35
     quarantine: bool = True  # per-doc failures → ("error", msg, "") span
+    # cell-split strategy candidates, tried IN ORDER per table run until
+    # one yields structure (the reference's extraction-settings sweep,
+    # readers/document.py:92-119 + pdfplumber.py:52-66: iterate candidate
+    # settings, first successful parse wins, fail only after all fail)
+    strategies: Tuple[str, ...] = ("tab", "spaces", "pipe")
 
 
 class SpanExtractor:
@@ -162,13 +171,49 @@ class SpanExtractor:
         flush_table()
         return out
 
+    # strategy registry: raw row texts → cell grids (values looked up via
+    # the dict, so no descriptor binding). "tab" is the native shape;
+    # "spaces" recovers tables whose TABs were flattened to runs of
+    # spaces; "pipe" recovers Markdown/ASCII-art style rows.
+    _STRATEGIES = {
+        "tab": lambda raw: [r.split(CELL_SEP) for r in raw],
+        "spaces": lambda raw: [_MULTISPACE_RE.split(r.strip()) for r in raw],
+        "pipe": lambda raw: [
+            [c.strip() for c in r.strip().strip("|").split("|")] for r in raw
+        ],
+    }
+
+    def _parse_grids(self, raw_rows: List[str]) -> List[List[str]]:
+        """Candidate sweep (document.py:92-119): first strategy that
+        parses AND finds ≥2 columns wins; a raising strategy is skipped;
+        if every strategy parses single-column, the first parse is
+        accepted (legitimate one-column table); if every strategy raises,
+        the last error propagates (→ doc-level quarantine)."""
+        last_error: Optional[Exception] = None
+        fallback: Optional[List[List[str]]] = None
+        for name in self.config.strategies:
+            parse = self._STRATEGIES[name]
+            try:
+                grids = parse(raw_rows)
+            except Exception as exc:
+                last_error = exc
+                continue
+            if max(len(g) for g in grids) >= 2:
+                return grids
+            if fallback is None:
+                fallback = grids
+        if fallback is not None:
+            return fallback
+        assert last_error is not None
+        raise last_error
+
     def _extract_table(
         self,
         raw_rows: List[str],
         mapping: Optional[dict] = None,
         table_no: int = 0,
     ) -> List[Tuple[str, str, str]]:
-        grids = [r.split(CELL_SEP) for r in raw_rows]
+        grids = self._parse_grids(raw_rows)
         width = max(len(g) for g in grids)
         grids = [g + [""] * (width - len(g)) for g in grids]
 

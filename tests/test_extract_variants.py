@@ -176,3 +176,49 @@ class TestQuarantine:
         ex = SpanExtractor(cfg)
         with pytest.raises(Exception):
             ex(self._poisoned_doc())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStrategySweep:
+    """Candidate-strategy fallback (reference readers/document.py:92-119):
+    a table whose separators are corrupted parses under a later strategy
+    and yields the same output as the intact TAB table."""
+
+    ROWS = [
+        ["Family", "Common Name", "Count"],
+        ["Rosaceae", "rose", "5"],
+        ["Poaceae", "grass", "9"],
+    ]
+
+    def _doc(self, doc_id, joiner):
+        rows = [("table_row", joiner(cells), "") for cells in self.ROWS]
+        return ray.data.from_arrow(_doc(doc_id, rows))
+
+    def test_spaces_corrupted_table_parses_like_tab(self):
+        tab = _spans_df(extract_spans(self._doc("d", CELL_SEP.join)))
+        spaces = _spans_df(
+            extract_spans(self._doc("d", lambda c: "   ".join(c)))
+        )
+        pd.testing.assert_frame_equal(tab, spaces)
+        assert (spaces["kind"] == "table").sum() == 1  # parsed as a table
+
+    def test_pipe_corrupted_table_parses_like_tab(self):
+        tab = _spans_df(extract_spans(self._doc("d", CELL_SEP.join)))
+        piped = _spans_df(
+            extract_spans(self._doc("d", lambda c: "| " + " | ".join(c) + " |"))
+        )
+        pd.testing.assert_frame_equal(tab, piped)
+
+    def test_single_column_table_still_accepted(self):
+        rows = [("table_row", "only_one_cell", ""), ("table_row", "another", "")]
+        out = _spans_df(extract_spans(ray.data.from_arrow(_doc("d1", rows))))
+        assert (out["kind"] == "table").sum() == 1
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            "only_one_cell",
+            "another",
+        ]
+
+    def test_all_strategies_raise_quarantines(self):
+        rows = [("table_row", None, "")]
+        out = _spans_df(extract_spans(ray.data.from_arrow(_doc("dq", rows))))
+        assert out["kind"].tolist() == ["error"]
