@@ -148,24 +148,36 @@ def run_scaling() -> dict:
     # sample the same window, and report the best pair's efficiency — a
     # noisy window then cancels in the ratio instead of poisoning one leg.
     pairs = [(run(lo), run(hi)) for _ in range(reps)]
+    ratios = sorted(
+        p[1]["docs_per_sec"] / max(p[0]["docs_per_sec"], 1e-9) / (hi / lo)
+        for p in pairs
+    )
+    # headline = MEDIAN pair efficiency (max over pairs is upward-biased:
+    # one pair landing in a lucky noise window would overstate scaling);
+    # the best pair is reported alongside for context.
+    median_eff = ratios[len(ratios) // 2] if len(ratios) % 2 else (
+        (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+    )
+    best_eff = ratios[-1]
     r_lo, r_hi = max(
         pairs,
         key=lambda p: p[1]["docs_per_sec"] / max(p[0]["docs_per_sec"], 1e-9),
     )
     tp_lo = r_lo["docs_per_sec"]
     tp_hi = r_hi["docs_per_sec"]
-    eff = tp_hi / (tp_lo * (hi / lo))
     return {
         "metric": (
             f"scaling efficiency (docs/sec @{hi} cpus) / "
-            f"({hi // lo} x docs/sec @{lo} cpus)"
+            f"({hi // lo} x docs/sec @{lo} cpus), median of {reps} adjacent pairs"
         ),
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": tp_lo,
         f"docs_per_sec_{hi}": tp_hi,
         "docs": r_hi["docs"],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(median_eff, 3),
+        "scaling_efficiency_best_pair": round(best_eff, 3),
+        "scaling_pair_ratios": [round(r, 3) for r in ratios],
         "sf": SF_DIR,
     }
 

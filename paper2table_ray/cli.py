@@ -81,11 +81,25 @@ def cmd_tablemerge(argv: List[str]) -> int:
     p.add_argument("--force-update", action="store_true")
     p.add_argument("--pretty", action="store_true")
     p.add_argument("--paper", help="regex: merge only matching doc ids")
+    p.add_argument("--paper-aliases",
+                   help="'alias:canonical[:page_offset]' doc aliases")
+    p.add_argument("--schema",
+                   help="inline 'column:type' schema (required by the "
+                        "--*-schema-* flags; reference __main__.py:457-465)")
+    p.add_argument("--schema-path", help="file with the same schema format")
+    p.add_argument("--filter-schema-columns", action="store_true")
+    p.add_argument("--order-schema-columns", action="store_true")
+    p.add_argument("--coerce-schema-column-types", action="store_true")
+    p.add_argument("--only-semantic-columns", action="store_true")
+    p.add_argument("--remove-header-rows", action="store_true")
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.tablemerge import run_tablemerge
     from .state.settings import MergeSettings
 
+    schema_text = args.schema
+    if not schema_text and args.schema_path:
+        schema_text = open(args.schema_path, encoding="utf-8").read()
     if args.settings:
         settings = MergeSettings.from_dict(json.load(open(args.settings)))
     else:
@@ -95,6 +109,13 @@ def cmd_tablemerge(argv: List[str]) -> int:
             jaccard_column_alignment=args.jaccard_column_alignment,
             agreement_method=args.agreement_method,
             pretty=args.pretty,
+            paper_aliases=args.paper_aliases,
+            schema=schema_text,
+            filter_schema_columns=args.filter_schema_columns,
+            order_schema_columns=args.order_schema_columns,
+            coerce_schema_column_types=args.coerce_schema_column_types,
+            only_semantic_columns=args.only_semantic_columns,
+            remove_header_rows=args.remove_header_rows,
         )
     summary = run_tablemerge(
         args.resultsets,

@@ -208,7 +208,35 @@ def normalize_punctuation(text: str) -> str:
 
 # --- ASCII transliteration (unidecode substitute) --------------------------
 
-# Minimal supplement for letters NFKD alone can't fold.
+# Supplement for letters NFKD alone can't fold: Latin special letters
+# plus Greek and Cyrillic romanization (standard transliteration values,
+# matching unidecode's tables for these scripts). The reference compares
+# rows through ``unidecode`` (tablesfile_merger.py:37-46); for scripts
+# not covered here the characters are PRESERVED rather than deleted so
+# two distinct non-Latin strings can never fold to the same (empty)
+# string and spuriously merge.
+_GREEK = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "e",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "u",
+    "φ": "ph", "χ": "kh", "ψ": "ps", "ω": "o",
+    "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z", "Η": "E",
+    "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M", "Ν": "N", "Ξ": "X",
+    "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T", "Υ": "U",
+    "Φ": "Ph", "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+}
+_CYRILLIC = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "io",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "iu", "я": "ia",
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E", "Ё": "Io",
+    "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L", "М": "M",
+    "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T", "У": "U",
+    "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch", "Ш": "Sh", "Щ": "Shch",
+    "Ъ": "", "Ы": "Y", "Ь": "", "Э": "E", "Ю": "Iu", "Я": "Ia",
+}
 _TRANSLIT = str.maketrans(
     {
         "ß": "ss",  # ß
@@ -226,19 +254,32 @@ _TRANSLIT = str.maketrans(
         "Þ": "Th",
         "ð": "d",
         "Ð": "D",
+        **_GREEK,
+        **_CYRILLIC,
     }
 )
 
 
 def ascii_fold(value: str) -> str:
     """Best-effort ASCII transliteration (NFKD + combining-mark strip +
-    a small special-letter map). Used where the reference used
-    ``unidecode`` for accent-insensitive row comparison."""
+    special-letter/Greek/Cyrillic maps). Used where the reference used
+    ``unidecode`` for accent-insensitive row comparison. Characters of
+    unmapped scripts (CJK, Arabic, …) are kept verbatim — deleting them
+    would collapse distinct values to equal (empty) folds."""
     if _ASCII_SAFE_RE.match(value):
         return value
-    value = value.translate(_TRANSLIT)
-    decomposed = unicodedata.normalize("NFKD", value)
-    return decomposed.encode("ascii", "ignore").decode("ascii")
+    # decompose FIRST so precomposed accented letters (ή, ё, é) expose
+    # their base character to the transliteration table
+    decomposed = unicodedata.normalize("NFKD", value).translate(_TRANSLIT)
+    out = []
+    for ch in decomposed:
+        if ord(ch) < 128:
+            out.append(ch)
+        elif unicodedata.combining(ch):
+            continue  # strip accent marks
+        else:
+            out.append(ch)  # preserve unmapped scripts
+    return "".join(out)
 
 
 # --- config parsing --------------------------------------------------------

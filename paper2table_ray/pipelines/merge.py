@@ -31,9 +31,12 @@ from ..schema import (
     table_to_row_records,
     tablesfile_to_records,
 )
+from ..functions.text import ColumnSchema
 from ..stages.aligners import (
     AliasLoadTimeAnalyzer,
+    ColumnNameSemanticLoadTimeAnalyzer,
     ColumnNamesNormalizerLoadTimeAnalyzer,
+    ColumnValueSemanticMergeTimeAnalyzer,
     HintsLoadTimeAnalyzer,
     JaccardMergeTimeAnalyzer,
     LoadTimeColumnAligner,
@@ -46,8 +49,13 @@ from ..stages.merge import (
 from ..stages.transformers import (
     FilterEmptyRowsTransformer,
     FilterTitleRowsTransformer,
+    FragmentValuesReverser,
+    LeadingRowNumberTransformer,
+    NormalizePunctuationTransformer,
+    SplitColumnTransformer,
     apply_fragment_transformers,
     build_postprocessors,
+    filter_header_rows_tablesfile,
 )
 
 MERGED_UUID = "merged"
@@ -72,6 +80,24 @@ class MergeConfig:
     doc_source_offsets: Dict[tuple, int] = field(default_factory=dict)
     drop_empty_columns: bool = True
     drop_empty_tables: bool = True
+    # analyzer tuning + typed schema (reference build_analyzers,
+    # __main__.py:113-143; schema postprocessing, postprocessor.py:39-152)
+    alignment_threshold: float = 0.5
+    semantic_language: str = "en"
+    name_semantic_alignment: bool = False
+    value_semantic_alignment: bool = False
+    schema: Optional[ColumnSchema] = None
+    filter_schema_columns: bool = False
+    order_schema_columns: bool = False
+    coerce_schema_column_types: bool = False
+    only_semantic_columns: bool = False
+    # optional pre/post transformers (try_parse_pretransformers,
+    # __main__.py:675-688)
+    fix_reversed_column_values: bool = False
+    strip_leading_row_numbers: bool = False
+    normalize_punctuation: bool = False
+    split_conjunction_columns: bool = False
+    remove_header_rows: bool = False
 
 
 def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
@@ -79,8 +105,16 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
     column-name normalization + optional hints/alias analyzers →
     always-appended empty-row filter."""
     pre = []
+    if config.fix_reversed_column_values:
+        pre.append(FragmentValuesReverser(config.semantic_language))
     if config.filter_title_rows:
         pre.append(FilterTitleRowsTransformer())
+    if config.strip_leading_row_numbers:
+        pre.append(LeadingRowNumberTransformer())
+    if config.normalize_punctuation:
+        pre.append(NormalizePunctuationTransformer())
+    if config.split_conjunction_columns:
+        pre.append(SplitColumnTransformer(config.semantic_language))
     tf = apply_fragment_transformers(tf, pre)
 
     analyzers = [ColumnNamesNormalizerLoadTimeAnalyzer()]
@@ -88,6 +122,14 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
         analyzers.append(HintsLoadTimeAnalyzer(config.hints))
     if config.aliases:
         analyzers.append(AliasLoadTimeAnalyzer(config.aliases))
+    if config.name_semantic_alignment:
+        analyzers.append(
+            ColumnNameSemanticLoadTimeAnalyzer(
+                config.alignment_threshold,
+                config.semantic_language,
+                config.schema,
+            )
+        )
 
     tables = []
     for table in tf["tables"]:
@@ -139,14 +181,33 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
         if config.distinct_readers
         else SimpleCountAgreement()
     )
-    analyzers = [JaccardMergeTimeAnalyzer()] if config.jaccard_alignment else []
+    analyzers = []
+    if config.jaccard_alignment:
+        analyzers.append(
+            JaccardMergeTimeAnalyzer(config.alignment_threshold, config.schema)
+        )
+    if config.value_semantic_alignment:
+        analyzers.append(
+            ColumnValueSemanticMergeTimeAnalyzer(
+                config.alignment_threshold,
+                config.semantic_language,
+                config.schema,
+            )
+        )
     merged = TablesFileMerger(
         agreement=agreement,
         column_agreement=config.column_agreement,
         analyzers=analyzers,
     ).merge(tablesfiles, page_offsets=offsets)
 
+    if config.remove_header_rows:
+        merged = filter_header_rows_tablesfile(merged, config.hints)
     for name, post in build_postprocessors(
+        schema=config.schema,
+        filter_columns=config.filter_schema_columns,
+        order_columns=config.order_schema_columns,
+        coerce_types=config.coerce_schema_column_types,
+        only_semantic_columns=config.only_semantic_columns,
         with_drop_empty_columns=config.drop_empty_columns,
         with_drop_empty_tables=config.drop_empty_tables,
     ):

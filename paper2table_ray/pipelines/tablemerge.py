@@ -37,6 +37,9 @@ def settings_to_config(
     settings: MergeSettings, uuid_to_reader: Optional[dict] = None
 ) -> MergeConfig:
     """MergeSettings (CLI flag surface) → MergeConfig (engine knobs)."""
+    from ..functions.text import ColumnSchema
+
+    schema = ColumnSchema.parse(settings.schema) if settings.schema else None
     return MergeConfig(
         column_agreement=settings.agreement_method != "none",
         distinct_readers=settings.agreement_method == "distinct-readers",
@@ -47,6 +50,20 @@ def settings_to_config(
         filter_title_rows=settings.filter_title_rows,
         drop_empty_columns=settings.drop_empty_columns,
         drop_empty_tables=settings.drop_empty_tables,
+        alignment_threshold=settings.column_alignment_threshold,
+        semantic_language=settings.semantic_language,
+        name_semantic_alignment=settings.column_name_semantic_alignment,
+        value_semantic_alignment=settings.column_value_semantic_alignment,
+        schema=schema,
+        filter_schema_columns=settings.filter_schema_columns,
+        order_schema_columns=settings.order_schema_columns,
+        coerce_schema_column_types=settings.coerce_schema_column_types,
+        only_semantic_columns=settings.only_semantic_columns,
+        fix_reversed_column_values=settings.fix_reversed_column_values,
+        strip_leading_row_numbers=settings.strip_leading_row_numbers,
+        normalize_punctuation=settings.normalize_punctuation,
+        split_conjunction_columns=settings.split_conjunction_columns,
+        remove_header_rows=settings.remove_header_rows,
     )
 
 

@@ -248,6 +248,8 @@ def minhash_lsh_pairs(
     join_partitions: int = 8,
     max_bucket_size: int = 256,
     broadcast_pair_limit: int = 2_000_000,
+    persist_threshold: int = 2_000_000,
+    sig_spill_dir: str = "/tmp",
 ) -> ray.data.Dataset:
     """documents (doc_id, text) → near-duplicate pairs
     (doc_a, doc_b, jaccard), distinct, doc_a < doc_b.
@@ -271,10 +273,22 @@ def minhash_lsh_pairs(
         batch_size=256,
         concurrency=concurrency,
     )
-    # consumed 3× (band rows + both join sides): materialize the compact
+    # consumed 3× (band rows + both join sides): persist the compact
     # signature table once instead of re-hashing the corpus per consumer
-    # (~1KB/doc; the object store spills if it outgrows memory).
-    feats = feats.materialize()
+    # (~1KB/doc). Small corpora pin it in the object store; above
+    # ``persist_threshold`` docs it is written to parquet and re-read
+    # column-pruned per consumer, so 10^9+-doc signature tables never
+    # have to live in (or spill out of) plasma.
+    n_docs = docs.count()
+    persist_dir = None
+    if n_docs > persist_threshold:
+        import tempfile
+
+        persist_dir = tempfile.mkdtemp(prefix="p2t_minhash_sigs_", dir=sig_spill_dir)
+        feats.write_parquet(persist_dir)
+        feats = ray.data.read_parquet(persist_dir)
+    else:
+        feats = feats.materialize()
 
     band_rows = feats.map_batches(
         lambda b: lsh_band_rows(b, bands, rows_per_band, num_shards),

@@ -70,3 +70,71 @@ class TestCliFlows:
         ]
         assert main(["filenorm", str(d), "--apply"]) == 0
         assert sorted(os.listdir(d)) == ["my_paper.txt", "other_one.txt"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaCoercion:
+    """--schema drives per-column filter/order/coercion end-to-end
+    (reference --schema + --coerce-schema-column-types,
+    utils/column_schema.py:44-71 + postprocessor.py:39-152)."""
+
+    def _resultset(self, tmp_path):
+        d = tmp_path / "run_a"
+        d.mkdir()
+        tf = {
+            "tables": [
+                {
+                    "rows": [
+                        {"family": "Rosaceae", "count": "3.0", "keep": "Yes"},
+                        {"family": "Apiaceae", "count": "nope", "keep": "False"},
+                    ],
+                    "page": 1,
+                }
+            ],
+            "citation": "",
+        }
+        (d / "paper.tables.json").write_text(json.dumps(tf))
+        return str(d)
+
+    def test_schema_coercion_through_cli(self, tmp_path):
+        src = self._resultset(tmp_path)
+        out = tmp_path / "out"
+        assert main([
+            "tablemerge", src, "-o", str(out),
+            "--agreement-method", "none",
+            "--schema", "family:str count:int keep:bool",
+            "--coerce-schema-column-types",
+            "--order-schema-columns",
+        ]) == 0
+        merged_file = glob.glob(str(out / "*" / "paper.tables.json"))[0]
+        merged = json.load(open(merged_file))
+        table = merged["tables"][0]
+        rows = (table.get("table_fragments") or [table])[0]["rows"]
+        data = [
+            {k: v for k, v in r.items() if not k.endswith("_")} for r in rows
+        ]
+        # "3.0" → "3" (int via float), "nope" unchanged (failed parse),
+        # "Yes"/"false" → canonical bools (coerce.py:5-26 semantics)
+        assert data == [
+            {"family": "rosaceae", "count": "3", "keep": "True"},
+            {"family": "apiaceae", "count": "nope", "keep": "False"},
+        ]
+        # --order-schema-columns: schema order first
+        assert list(data[0]) == ["family", "count", "keep"]
+
+    def test_schema_path_file(self, tmp_path):
+        src = self._resultset(tmp_path)
+        schema_file = tmp_path / "schema.txt"
+        schema_file.write_text("family:str\ncount:int\n")
+        out = tmp_path / "out2"
+        assert main([
+            "tablemerge", src, "-o", str(out),
+            "--agreement-method", "none",
+            "--schema-path", str(schema_file),
+            "--coerce-schema-column-types",
+        ]) == 0
+        merged_file = glob.glob(str(out / "*" / "paper.tables.json"))[0]
+        merged = json.load(open(merged_file))
+        table = merged["tables"][0]
+        rows = (table.get("table_fragments") or [table])[0]["rows"]
+        assert rows[0]["count"] == "3"

@@ -134,6 +134,26 @@ class TestDedupRay:
         ]["jaccard"].iloc[0]
         assert exact_15 == 1.0
 
+    def test_minhash_persisted_signature_path_identical(self, tmp_path):
+        # persist_threshold=0 forces the parquet signature spill path;
+        # results must be identical to the in-memory materialize path
+        ds = ray.data.from_items(_near_dup_docs())
+        kw = dict(threshold=0.6, exact_verify=True)
+        mem = dd.minhash_lsh_pairs(ds, **kw).to_pandas()
+        spilled = dd.minhash_lsh_pairs(
+            ds, persist_threshold=0, sig_spill_dir=str(tmp_path), **kw
+        ).to_pandas()
+        key = lambda df: sorted(
+            (a, b, round(j, 10))
+            for a, b, j in zip(df["doc_a"], df["doc_b"], df["jaccard"])
+        )
+        assert key(mem) == key(spilled)
+        import os as _os
+
+        assert any(
+            name.startswith("p2t_minhash_sigs_") for name in _os.listdir(tmp_path)
+        )
+
     def test_simhash_pairs(self):
         ds = ray.data.from_items(_near_dup_docs())
         pairs = dd.simhash_pairs(ds, max_hamming=10).to_pandas()

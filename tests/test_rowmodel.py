@@ -106,3 +106,43 @@ def test_tablesfile_round_trip():
     assert len(out["tables"]) == 2
     assert [f["page"] for f in out["tables"][0]["fragments"]] == [1, 2]
     assert out["tables"][0]["fragments"][0]["rows"][1]["cells"] == {"a": "2"}
+
+
+class TestNonLatinFold:
+    """ascii_fold transliterates Greek/Cyrillic (unidecode-style) and
+    preserves unmapped scripts so distinct values never collapse to the
+    same empty fold (ADVICE: same_row divergence on non-Latin cells)."""
+
+    def test_greek_romanized(self):
+        from paper2table_ray.functions.text import ascii_fold
+
+        assert ascii_fold("Αθήνα") == "Athena"
+        assert ascii_fold("αβγ") == "abg"
+        assert ascii_fold("Θεσσαλονίκη") == "Thessalonike"
+
+    def test_cyrillic_romanized(self):
+        from paper2table_ray.functions.text import ascii_fold
+
+        assert ascii_fold("Москва") == "Moskva"
+        assert ascii_fold("жизнь") == "zhizn"
+
+    def test_unmapped_script_preserved_not_deleted(self):
+        from paper2table_ray.functions.text import ascii_fold
+
+        assert ascii_fold("北京") == "北京"
+        assert ascii_fold("北京") != ascii_fold("上海")
+
+    def test_same_row_distinguishes_distinct_cjk_cells(self):
+        from paper2table_ray import rowmodel as rm
+
+        a = rm.make_row({"city": "北京"})
+        b = rm.make_row({"city": "上海"})
+        assert not rm.same_row(a, b)
+        assert rm.same_row(a, rm.make_row({"city": "北京"}))
+
+    def test_same_row_matches_across_greek_accent_variants(self):
+        from paper2table_ray import rowmodel as rm
+
+        a = rm.make_row({"name": "Αθήνα"})
+        b = rm.make_row({"name": "Αθηνα"})  # no accent
+        assert rm.same_row(a, b)
