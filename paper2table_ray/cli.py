@@ -186,12 +186,26 @@ def cmd_table2html(argv: List[str]) -> int:
     p.add_argument("-o", "--output", required=True, help="output .html file")
     args = p.parse_args(argv)
     _ensure_ray()
-    from .pipelines.export import cells_to_html
-    from .sources.tablesfile_json import read_resultsets
+    from .pipelines.viewer import cells_to_viewer_html
+    from .sources.tablesfile_json import load_metadata, read_resultsets
 
-    html = cells_to_html(
+    metadata = load_metadata(args.resultset) or {}
+    settings_path = os.path.join(args.resultset, "settings.tablemerge.json")
+    settings = (
+        json.load(open(settings_path, encoding="utf-8"))
+        if os.path.exists(settings_path)
+        else None
+    )
+    uuid_to_reader = {}
+    for s in metadata.get("sources") or []:
+        if isinstance(s, dict) and s.get("uuid") and s.get("reader"):
+            uuid_to_reader[s["uuid"]] = s["reader"]
+    html = cells_to_viewer_html(
         read_resultsets([args.resultset]),
         title=os.path.basename(os.path.normpath(args.resultset)),
+        metadata=metadata,
+        settings=settings,
+        uuid_to_reader=uuid_to_reader,
     )
     open(args.output, "w", encoding="utf-8").write(html)
     print(args.output)

@@ -253,6 +253,7 @@ def extract_pipeline_fused(
 def plan_mappings_ds(
     docs: ray.data.Dataset,
     cache_dir: Optional[str] = None,
+    client_factory=None,
 ) -> ray.data.Dataset:
     """Hybrid-reader analogue (SURVEY.md S6, readers/hybrid.py:68-108):
     an expensive planner produces a per-doc ``TablesMapping`` ONCE, cached
@@ -267,20 +268,36 @@ def plan_mappings_ds(
     idempotent tmp+``os.replace`` file per doc, never funneled through the
     driver — so the mapping side scales with the corpus (cache_dir is a
     shared filesystem at multi-node scale; a Lance/parquet side table is
-    the drop-in alternative)."""
+    the drop-in alternative).
+
+    ``client_factory``: zero-arg callable building a
+    :class:`~paper2table_ray.stages.llmclient.TablesModelClient`
+    (wrapped in RateLimitedClient for pacing as needed) — built ONCE per
+    worker via a closure-local cache, the ST4 stateful-client pattern.
+    Defaults to the deterministic planner stub. A doc whose plan raises
+    ``ModelUnavailableError`` is SKIPPED (no mapping row, no cache file)
+    so a later run retries it — the reference's warn-and-skip + resume
+    flow (__main__.py:428-440)."""
     import json
     import os
     import uuid
 
     import pyarrow as pa
 
-    from ..functions.text import normalize_column_name
-    from ..stages.extract import CELL_SEP
+    from ..stages.llmclient import (
+        DeterministicPlannerClient,
+        ModelUnavailableError,
+    )
 
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
+    factory = client_factory or DeterministicPlannerClient
+    worker_cache: dict = {}
 
     def plan_batch(batch: pa.Table) -> pa.Table:
+        client = worker_cache.get("client")
+        if client is None:
+            client = worker_cache["client"] = factory()
         out_ids, out_maps = [], []
         for doc_id, spans in zip(
             batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
@@ -294,26 +311,13 @@ def plan_mappings_ds(
                     continue  # cache hit → planner not invoked (hybrid.py:77-82)
                 except FileNotFoundError:
                     pass
-            header = next(
-                (
-                    s["text"]
-                    for s in sorted(spans or [], key=lambda s: s["offset"])
-                    if s["kind"] == "table_row"
-                ),
-                None,
-            )
-            if header is None:
+            try:
+                mapping = client.plan(doc_id, spans or [])
+            except ModelUnavailableError:
+                continue  # skip: retried by the next (resume) run
+            if mapping is None:
                 continue
-            cells = header.split(CELL_SEP)
-            mapping_json = json.dumps(
-                {
-                    "header_mode": "all_pages",
-                    "column_mappings": {
-                        str(i): normalize_column_name(c) or f"col_{i}"
-                        for i, c in enumerate(cells)
-                    },
-                }
-            )
+            mapping_json = json.dumps(mapping)
             if cache_dir:
                 # in-task idempotent write (unique tmp name per writer so
                 # concurrent retries never clobber each other mid-write)
