@@ -135,12 +135,15 @@ def cmd_tablestats(argv: List[str]) -> int:
     p.add_argument("--sort", choices=["asc", "desc"], default="asc",
                    help="order the per-paper list by table count (O3)")
     p.add_argument("--top", type=int, help="keep only the top N papers")
+    p.add_argument("--format", choices=["json", "text"], default="json",
+                   help="text = the reference's human report layout")
     args = p.parse_args(argv)
     _ensure_ray()
     from .sources.tablesfile_json import read_resultsets
     from .stages.stats import (
         collect_unique_columns,
         empty_papers,
+        format_stats,
         global_stats,
         paper_stats_dataset,
     )
@@ -157,7 +160,14 @@ def cmd_tablestats(argv: List[str]) -> int:
         {"doc_id": r["doc_id"], "source_uuid": r["source_uuid"], "tables": r["tables"]}
         for r in ordered.select_columns(["doc_id", "source_uuid", "tables"]).take_all()
     ]
-    payload = json.dumps(stats, indent=2, default=str)
+    if args.format == "text":
+        papers_stats = {
+            f"{r['doc_id']}.tables.json": r
+            for r in per_paper.sort("doc_id").take_all()
+        }
+        payload = format_stats(stats, papers_stats, stats.get("columns"))
+    else:
+        payload = json.dumps(stats, indent=2, default=str)
     if args.output:
         open(args.output, "w").write(payload)
     else:

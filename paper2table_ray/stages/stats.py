@@ -7,7 +7,7 @@ stats fold the tiny per-paper table with a driver-side sum — matching
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import pandas as pd
 import pyarrow as pa
@@ -95,6 +95,15 @@ def compute_paper_stats(tablesfile: dict) -> dict:
         col for f in all_fragments for row in f["rows"] for col in row["cells"]
     }
     rows_in_groups, rows_shared = _count_shared_values(tables)
+    # per-paper percentages (stats.py:172-180): None when undefined
+    agreement_percentage = None
+    empty_rows_percentage = None
+    shared_values_percentage = None
+    if rows_count > 0:
+        agreement_percentage = rows_with_agreement / rows_count * 100
+        empty_rows_percentage = empty_rows / rows_count * 100
+    if rows_in_groups > 0:
+        shared_values_percentage = rows_shared / rows_in_groups * 100
     return {
         "tables": len(tables),
         "fragments": len(all_fragments),
@@ -105,6 +114,9 @@ def compute_paper_stats(tablesfile: dict) -> dict:
         "empty_rows": empty_rows,
         "rows_in_shared_groups": rows_in_groups,
         "rows_with_shared_values": rows_shared,
+        "agreement_percentage": agreement_percentage,
+        "empty_rows_percentage": empty_rows_percentage,
+        "shared_values_percentage": shared_values_percentage,
     }
 
 
@@ -153,6 +165,91 @@ def global_stats(paper_stats: ray.data.Dataset) -> dict:
         else None
     )
     return out
+
+
+def accumulate_global(paper_stats_list: List[dict]) -> dict:
+    """Pure fold mirroring the reference's ``update_papers_stats``
+    (stats.py:114-135) — used for tests and tiny inputs; the Ray
+    ``global_stats`` aggregate computes the identical totals
+    distributed."""
+    out = {
+        "papers": 0,
+        "tables": 0,
+        "fragments": 0,
+        "rows": 0,
+        "unique_rows": 0,
+        "rows_with_agreement": 0,
+        "rows_in_shared_groups": 0,
+        "rows_with_shared_values": 0,
+        "global_agreement_percentage": None,
+        "global_shared_values_percentage": None,
+    }
+    for ps in paper_stats_list:
+        out["papers"] += 1
+        for k in (
+            "tables",
+            "fragments",
+            "rows",
+            "unique_rows",
+            "rows_with_agreement",
+            "rows_in_shared_groups",
+            "rows_with_shared_values",
+        ):
+            out[k] += ps[k]
+        if out["rows"] > 0:
+            out["global_agreement_percentage"] = (
+                out["rows_with_agreement"] / out["rows"] * 100
+            )
+        if out["rows_in_shared_groups"] > 0:
+            out["global_shared_values_percentage"] = (
+                out["rows_with_shared_values"] / out["rows_in_shared_groups"] * 100
+            )
+    return out
+
+
+def format_stats(
+    stats: dict,
+    papers_stats: Optional[Dict[str, dict]] = None,
+    columns: Optional[Dict[str, str]] = None,
+) -> str:
+    """Text report (tablestats/__main__.py:122-168 layout)."""
+    lines = ["Global Stats:"]
+    lines.append(f"  Papers: {stats['papers']}")
+    lines.append(f"  Tables: {stats['tables']}")
+    lines.append(f"  Fragments: {stats['fragments']}")
+    lines.append(f"  Rows: {stats['rows']}")
+    lines.append(f"  Unique rows: {stats['unique_rows']}")
+    lines.append(f"  Rows with agreement > 1: {stats['rows_with_agreement']}")
+    if stats.get("global_agreement_percentage") is not None:
+        lines.append(
+            "  Global agreement percentage: "
+            f"{stats['global_agreement_percentage']:.2f}%"
+        )
+    if stats.get("global_shared_values_percentage") is not None:
+        lines.append(
+            "  Global shared values percentage: "
+            f"{stats['global_shared_values_percentage']:.2f}%"
+        )
+    lines.append("")
+    lines.append("Per-Paper Stats:")
+    for paper, ps in (papers_stats or {}).items():
+        lines.append(f"- {paper}:")
+        lines.append(f"    Tables: {ps['tables']}")
+        lines.append(f"    Fragments: {ps['fragments']}")
+        lines.append(f"    Rows: {ps['rows']}")
+        lines.append(f"    Unique rows: {ps['unique_rows']}")
+        lines.append(f"    Columns: {ps['columns']}")
+        lines.append(f"    Rows with agreement > 1: {ps['rows_with_agreement']}")
+        if ps.get("agreement_percentage") is not None:
+            lines.append(
+                f"    Agreement percentage: {ps['agreement_percentage']:.2f}%"
+            )
+    if columns:
+        lines.append("")
+        lines.append("Unique Columns:")
+        for name, typ in columns.items():
+            lines.append(f"  {name}:{typ}")
+    return "\n".join(lines)
 
 
 def empty_papers(paper_stats: ray.data.Dataset) -> ray.data.Dataset:

@@ -34,7 +34,9 @@ class TestCliFlows:
 
         html_file = tmp_path / "out.html"
         assert main(["table2html", out_dir, "-o", str(html_file)]) == 0
-        assert "<table>" in html_file.read_text()
+        html_text = html_file.read_text()
+        assert "<table class='table'>" in html_text
+        assert '<nav id="toc">' in html_text  # interactive viewer shell
 
         assert main(["tablevalidate", f"{out_dir}/*.tables.json", "--all"]) == 0
         assert main(["tablevalidate", f"{out_dir}/tables.metadata.json"]) == 0
