@@ -185,10 +185,13 @@ def normalize_punctuation(text: str) -> str:
     combine vowel+acute; drop one trailing sentence dot after a ≥5-char
     word; ellipsis char → ``...``."""
     if _ASCII_SAFE_RE.match(text):
-        # every rewrite except the double-quote fold and the trailing-dot
-        # rule targets non-ASCII characters
+        # every rewrite except the quote folds (straight double AND the
+        # ASCII backtick, both in the reference's quote classes) and the
+        # trailing-dot rule targets non-ASCII characters
         if '"' in text:
             text = text.replace('"', "'")
+        if "`" in text:
+            text = text.replace("`", "'")
         match = _TRAILING_DOT_RE.match(text)
         if match:
             text = match.group(1)

@@ -249,6 +249,31 @@ class SplitColumnTransformer:
         tokens = value.split()
         if len(tokens) <= 1:
             return value, ""
+        # structural separators first: the reference's word vectors find
+        # these splits semantically ("Buenos Aires - Argentina", "City
+        # (Country)"); the deterministic substitute detects them
+        # syntactically instead — a trailing parenthesized group or the
+        # LAST " - " separator wins over the similarity scan.
+        if value.rstrip().endswith(")"):
+            depth, i = 0, len(value.rstrip()) - 1
+            s = value.rstrip()
+            for i in range(len(s) - 1, -1, -1):
+                if s[i] == ")":
+                    depth += 1
+                elif s[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            if depth == 0 and 0 < i:
+                left_part = self.normalize_split_part(s[:i])
+                if left_part:
+                    return left_part, self.normalize_split_part(s[i:])
+        if " - " in value:
+            left_part, _, right_part = value.rpartition(" - ")
+            return (
+                self.normalize_split_part(left_part),
+                self.normalize_split_part(right_part),
+            )
         best_score, best_index = -1.0, 1
         for i in range(1, len(tokens)):
             score = self.vec.similarity(left_header, " ".join(tokens[:i])) + (
@@ -309,14 +334,20 @@ class FragmentValuesReverser:
     (fragment_transformer.py:325-380; spaCy vocab replaced by the
     deterministic KNOWN_WORDS list)."""
 
-    def __init__(self, language: str = "en"):
+    def __init__(self, language: str = "en", known_words=None):
         self.language = language
+        # injectable vocabulary (the reference tests inject a FakeNlp
+        # vocab the same way, test_fragment_transformer.py:16-45)
+        self._known = known_words
+
+    def _is_known(self, word: str) -> bool:
+        if self._known is not None:
+            return word in self._known
+        return NgramVectorizer.is_known_word(word)
 
     def _count_known_words(self, text: str) -> int:
         return sum(
-            1
-            for w in text.split()
-            if len(text) > 2 and NgramVectorizer.is_known_word(w)
+            1 for w in text.split() if len(text) > 2 and self._is_known(w)
         )
 
     def _row_score(self, row: Row) -> int:
