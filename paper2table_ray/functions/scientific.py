@@ -64,6 +64,36 @@ def canonicalize_scientific_name(value: str) -> str:
     return " ".join(out)
 
 
+def parse_scientific_name(name: str) -> str:
+    """gnparser-analogue with ``--capitalize`` semantics
+    (utils/gnparser.py:7-12 + the CLI flag): split multi-names on
+    comma/slash, capitalize the first letter of each part (so lowercase
+    input like "maytenus ilicifolia mart." parses), canonicalize, rejoin
+    with ', '."""
+    parts = [p.strip() for p in re.split(r"[,/]", name) if p.strip()]
+    if not parts:
+        return name
+
+    def one(part: str) -> str:
+        cap = part[0].upper() + part[1:] if part else part
+        return canonicalize_scientific_name(cap)
+
+    return ", ".join(one(p) for p in parts)
+
+
+class scientific_name(str):
+    """The reference's coercible pseudo-type (utils/scientific_name.py):
+    constructing one canonicalizes the value; usable as a ColumnSchema
+    column type (``species:scientific_name``)."""
+
+    pydantic_field_description = (
+        "A taxonomical name in binomial nomenclature (e.g. Homo sapiens)"
+    )
+
+    def __new__(cls, value: str) -> "scientific_name":
+        return super().__new__(cls, parse_scientific_name(value))
+
+
 def canonicalize_multi(value: str) -> str:
     """Comma/slash-separated multi-name handling (gnparser.py:7-12):
     canonicalize each part, rejoin with ', '."""

@@ -129,17 +129,36 @@ def normalize_column_value(value: str) -> str:
 _BOOL_TRUE = frozenset({"true", "1", "yes", "on"})
 _BOOL_FALSE = frozenset({"false", "0", "no", "off"})
 
-COLUMN_TYPES: dict[str, type] = {
-    "str": str,
-    "int": int,
-    "float": float,
-    "bool": bool,
-    # the reference's scientific_name type shells out to the gnparser binary
-    # (src/utils/gnparser.py:14-36); see scientific.py for our deterministic
-    # in-process canonicalizer behind the same "coerce to canonical string"
-    # contract.
-    "scientific_name": str,
-}
+def _scientific_name_type():
+    # late import: functions/scientific.py imports from this module
+    from .scientific import scientific_name
+
+    return scientific_name
+
+
+class _LazyColumnTypes(dict):
+    """COLUMN_TYPES with the scientific_name entry resolved lazily (it
+    lives in functions/scientific.py, which imports this module)."""
+
+    def __missing__(self, key):
+        if key == "scientific_name":
+            typ = _scientific_name_type()
+            self[key] = typ
+            return typ
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key == "scientific_name"
+
+
+COLUMN_TYPES: dict = _LazyColumnTypes(
+    {
+        "str": str,
+        "int": int,
+        "float": float,
+        "bool": bool,
+    }
+)
 
 
 def coerce_str(value: str, target_type: type) -> str:
@@ -328,8 +347,49 @@ class ColumnSchema:
     def __len__(self) -> int:
         return len(self.columns)
 
+    def __bool__(self) -> bool:
+        return bool(self.columns)
+
     def type_of(self, name: str) -> type:
+        """Lenient lookup (str default) — used by the coercion hot path."""
         return self.columns.get(name, str)
+
+    # --- reference API (column_schema.py:29-71) -----------------------------
+
+    def column_type(self, name: str) -> type:
+        """Strict lookup: KeyError for unknown columns."""
+        return self.columns[name]
+
+    def definitions(self) -> list[tuple[str, type]]:
+        return list(self.columns.items())
+
+    def serialize(self) -> dict[str, str]:
+        COLUMN_TYPES["scientific_name"]  # force the lazy entry
+        reverse = {v: k for k, v in COLUMN_TYPES.items()}
+        return {col: reverse[typ] for col, typ in self.columns.items()}
+
+    def pydantic_field_description(self, name: str) -> str | None:
+        return getattr(self.columns[name], "pydantic_field_description", None)
+
+    @staticmethod
+    def from_settings_dict(schema_dict: dict[str, str]) -> "ColumnSchema | None":
+        if not schema_dict:
+            return None
+        return ColumnSchema.parse(
+            ",".join(f"{k}:{v}" for k, v in schema_dict.items())
+        )
+
+    @staticmethod
+    def parse_pydantic(schema_str: str) -> dict:
+        """``{name: (type, FieldInfo|...)}`` for pydantic ``create_model``
+        (column_schema.py:66-71); descriptions carried for pseudo-types."""
+        from pydantic import Field
+
+        result = {}
+        for name, typ in ColumnSchema.parse(schema_str).definitions():
+            desc = getattr(typ, "pydantic_field_description", None)
+            result[name] = (typ, Field(..., description=desc) if desc else ...)
+        return result
 
 
 def parse_page_range(raw_path: str) -> tuple[str, tuple[int, int] | None]:

@@ -70,6 +70,7 @@ class MergeConfig:
     uuid_to_reader: Dict[str, str] = field(default_factory=dict)
     jaccard_alignment: bool = True
     hints: List[str] = field(default_factory=list)
+    hints_unsafe: bool = False  # reference hints_column_alignment='unsafe'
     aliases: Dict[str, str] = field(default_factory=dict)
     filter_title_rows: bool = True
     source_order: Optional[List[str]] = None
@@ -119,7 +120,9 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
 
     analyzers = [ColumnNamesNormalizerLoadTimeAnalyzer()]
     if config.hints:
-        analyzers.append(HintsLoadTimeAnalyzer(config.hints))
+        analyzers.append(
+            HintsLoadTimeAnalyzer(config.hints, safe=not config.hints_unsafe)
+        )
     if config.aliases:
         analyzers.append(AliasLoadTimeAnalyzer(config.aliases))
     if config.name_semantic_alignment:

@@ -46,6 +46,7 @@ def settings_to_config(
         uuid_to_reader=uuid_to_reader or {},
         jaccard_alignment=settings.jaccard_column_alignment,
         hints=parse_hints(settings.column_names_hints or ""),
+        hints_unsafe=settings.hints_column_alignment == "unsafe",
         aliases=parse_column_aliases(settings.column_aliases or ""),
         filter_title_rows=settings.filter_title_rows,
         drop_empty_columns=settings.drop_empty_columns,

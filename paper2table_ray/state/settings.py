@@ -32,7 +32,8 @@ class MergeSettings:
     filter_schema_columns: bool = False
     filter_title_rows: bool = True
     fix_reversed_column_values: bool = False
-    hints_column_alignment: bool = False
+    # "safe" | "unsafe" | None (the reference's hints analyzer mode)
+    hints_column_alignment: Optional[str] = None
     jaccard_column_alignment: bool = False
     normalize_punctuation: bool = False
     only_semantic_columns: bool = False
@@ -50,6 +51,36 @@ class MergeSettings:
     def from_dict(cls, data: dict) -> "MergeSettings":
         known = {f.name for f in fields(cls)}
         return cls(**{k: v for k, v in data.items() if k in known})
+
+    @classmethod
+    def from_args(cls, args) -> "MergeSettings":
+        """argparse Namespace → settings (reference settings.py from_args):
+        known fields copied, extras ignored; the ``*_path`` variants of
+        schema / aliases / hints read the file's text into the inline
+        field."""
+
+        def read_path(path_attr: str, inline_attr: str):
+            inline = getattr(args, inline_attr, None)
+            if inline is not None:
+                return inline
+            path = getattr(args, path_attr, None)
+            if path:
+                with open(path, encoding="utf-8") as f:
+                    return f.read().strip()
+            return None
+
+        known = {f.name for f in fields(cls)}
+        data = {
+            k: v for k, v in vars(args).items() if k in known and k != "paths"
+        }
+        data["schema"] = read_path("schema_path", "schema")
+        data["column_aliases"] = read_path("column_aliases_path", "column_aliases")
+        data["paper_aliases"] = read_path("paper_aliases_path", "paper_aliases")
+        data["column_names_hints"] = read_path(
+            "column_names_hints_path", "column_names_hints"
+        )
+        data["paths"] = list(getattr(args, "paths", []) or [])
+        return cls(**data)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
