@@ -26,25 +26,39 @@ _GENUS_RE = re.compile(r"^[A-ZÀ-Þ][a-zà-ÿ-]+$")
 _HYBRID_MARKS = ("×", "x")
 
 
+# gnparser's "approximation" forms (sp./spp./cf./aff. after the genus):
+# the canonical form is the genus alone
+_SP_TOKENS = frozenset({"sp", "sp.", "spp", "spp.", "cf", "cf.", "aff", "aff."})
+
+
 def canonicalize_scientific_name(value: str) -> str:
     """Best-effort canonical binomial/trinomial: keep Genus + epithet
     (+ rank + infraspecific epithet), drop authorship/years/annotations.
     Returns the input unchanged when no genus+epithet shape is found
     (mirrors the reference's pass-through on parse failure)."""
+    out = _try_canonicalize(value)
+    return value if out is None else out
+
+
+def _try_canonicalize(value: str):
+    """Grammar core: canonical string on success, ``None`` when the value
+    doesn't parse as a name (callers choose the pass-through form)."""
     tokens = value.replace(",", " ").split()
     if not tokens:
-        return value
+        return None
     out: List[str] = []
     i = 0
     # optional hybrid mark
     if tokens[0] in _HYBRID_MARKS and len(tokens) > 1:
         i = 1
     if i >= len(tokens) or not _GENUS_RE.match(tokens[i]):
-        return value
+        return None
     genus = tokens[i]
     i += 1
-    if i >= len(tokens) or not _EPITHET_RE.match(tokens[i]):
-        return value
+    if i < len(tokens) and tokens[i].lower() in _SP_TOKENS:
+        return genus  # approximation: "Acaena sp." → "Acaena"
+    if i >= len(tokens) or not _EPITHET_RE.match(tokens[i]) or len(tokens[i]) < 2:
+        return None
     epithet = tokens[i]
     i += 1
     out = [genus, epithet]
@@ -76,7 +90,10 @@ def parse_scientific_name(name: str) -> str:
 
     def one(part: str) -> str:
         cap = part[0].upper() + part[1:] if part else part
-        return canonicalize_scientific_name(cap)
+        out = _try_canonicalize(cap)
+        # parse failure → the ORIGINAL (uncapitalized) part passes through,
+        # matching gnparser's keep-as-is on unparseable input
+        return part if out is None else out
 
     return ", ".join(one(p) for p in parts)
 

@@ -360,6 +360,10 @@ class BaseColumnAligner:
     def __init__(self, max_sample: int = 50):
         self.max_sample = max_sample
 
+    def rename_column(self, name: str) -> str:
+        """columns_aligner.py reference API: mapped name or identity."""
+        return self.mapping.get(name, name)
+
     def rename_row(self, row: Row) -> Row:
         if not self.mapping:
             return row
