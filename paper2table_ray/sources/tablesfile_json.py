@@ -354,3 +354,39 @@ def write_resultset(
     from ..stages.shuffle import groupby_apply
 
     return groupby_apply(cells, "doc_id", write_doc).to_pandas()
+
+
+# --- split-pages combination helpers (S7 pure core) -------------------------
+
+
+def fix_page_numbers(table_dict: dict, page_offset: int) -> dict:
+    """readers/split_pages.py:15-26: add the batch's page offset to every
+    fragment page (tables without ``table_fragments`` pass through)."""
+    corrected = dict(table_dict)
+    if "table_fragments" in corrected:
+        corrected["table_fragments"] = [
+            {**fragment, "page": fragment["page"] + page_offset}
+            for fragment in corrected["table_fragments"]
+        ]
+    return corrected
+
+
+def combine_page_results(path: str, page_results: list) -> dict:
+    """readers/split_pages.py:50-80 (``read_tables_from_pages``): merge
+    per-batch results into one tablesfile JSON object — tables
+    concatenated with page offsets applied, FIRST non-null citation wins,
+    filename stamped into metadata. ``page_results``: ``[(page_offset,
+    result_dict)]`` where result_dict has ``tables`` and ``citation``."""
+    all_tables = []
+    citation = None
+    for page_offset, result in page_results:
+        all_tables.extend(
+            fix_page_numbers(t, page_offset) for t in result.get("tables", [])
+        )
+        if citation is None and result.get("citation"):
+            citation = result["citation"]
+    return {
+        "tables": all_tables,
+        "citation": citation,
+        "metadata": {"filename": os.path.basename(path)},
+    }

@@ -163,3 +163,65 @@ def test_scientific_name_comma_separated_strips_authors():
 
 def test_scientific_name_comma_separated_with_unparseable_part():
     assert scientific_name("homo sapiens, not a name") == "Homo sapiens, not a name"
+
+
+# --- split_pages pure core (test_split_pages.py:20-72) -----------------------
+
+
+def test_apply_page_offset():
+    from paper2table_ray.sources.tablesfile_json import fix_page_numbers
+
+    table = {
+        "table_fragments": [
+            {"rows": [{"a": "1"}], "page": 1},
+            {"rows": [{"a": "2"}], "page": 2},
+        ]
+    }
+    result = fix_page_numbers(table, 4)
+    assert result["table_fragments"][0]["page"] == 5
+    assert result["table_fragments"][1]["page"] == 6
+
+
+def test_apply_page_offset_no_fragments():
+    from paper2table_ray.sources.tablesfile_json import fix_page_numbers
+
+    table = {"rows": [{"a": "1"}], "page": 1}
+    assert fix_page_numbers(table, 2) == table
+
+
+def test_read_tables_from_pages_combines_tables():
+    from paper2table_ray.sources.tablesfile_json import combine_page_results
+
+    r1 = {"tables": [{"table_fragments": [{"rows": [{"a": "x"}], "page": 1}]}],
+          "citation": None}
+    r2 = {"tables": [{"table_fragments": [{"rows": [{"a": "y"}], "page": 1}]}],
+          "citation": None}
+    result = combine_page_results("/some/path/doc.pdf", [(0, r1), (1, r2)])
+    assert len(result["tables"]) == 2
+    assert result["tables"][0]["table_fragments"][0]["page"] == 1
+    assert result["tables"][1]["table_fragments"][0]["page"] == 2
+
+
+def test_read_tables_from_pages_takes_first_citation():
+    from paper2table_ray.sources.tablesfile_json import combine_page_results
+
+    r1 = {"tables": [], "citation": None}
+    r2 = {"tables": [], "citation": "Author 2026"}
+    r3 = {"tables": [], "citation": "Other 2026"}
+    result = combine_page_results("/p/doc.pdf", [(0, r1), (1, r2), (2, r3)])
+    assert result["citation"] == "Author 2026"
+
+
+def test_read_tables_from_pages_filename():
+    from paper2table_ray.sources.tablesfile_json import combine_page_results
+
+    result = combine_page_results("/some/path/my_paper.pdf", [])
+    assert result["metadata"]["filename"] == "my_paper.pdf"
+
+
+def test_read_tables_from_pages_empty():
+    from paper2table_ray.sources.tablesfile_json import combine_page_results
+
+    result = combine_page_results("/p/doc.pdf", [])
+    assert result["tables"] == []
+    assert result["citation"] is None
