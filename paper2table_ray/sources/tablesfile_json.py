@@ -390,3 +390,19 @@ def combine_page_results(path: str, page_results: list) -> dict:
         "citation": citation,
         "metadata": {"filename": os.path.basename(path)},
     }
+
+
+def make_metadata(reader: str, model: Optional[str] = None, uuid: Optional[str] = None) -> dict:
+    """TablemergeMetadata analogue (writers/tablemerge.py): reader name
+    with the agent→model substitution, resultset uuid (caller-supplied —
+    this repo stamps deterministic content-derived ids instead of uuid4;
+    SURVEY.md §4 determinism row), ISO timestamp."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    effective_reader = model if reader == "agent" else reader
+    return {
+        "reader": effective_reader,
+        "uuid": uuid or str(_uuid.uuid4()),
+        "datetime": _dt.datetime.now().isoformat(),
+    }

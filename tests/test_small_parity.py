@@ -225,3 +225,67 @@ def test_read_tables_from_pages_empty():
     result = combine_page_results("/p/doc.pdf", [])
     assert result["tables"] == []
     assert result["citation"] is None
+
+
+# --- metadata (test_metadata.py) + curation validation (test_validate.py) ----
+
+
+def test_metadata_uuid_is_unique():
+    from paper2table_ray.sources.tablesfile_json import make_metadata
+
+    assert make_metadata("camelot")["uuid"] != make_metadata("camelot")["uuid"]
+
+
+def test_metadata_to_dict_regular_reader():
+    from datetime import datetime
+    from uuid import UUID
+
+    from paper2table_ray.sources.tablesfile_json import make_metadata
+
+    d = make_metadata(reader="camelot", model="test-model")
+    assert d["reader"] == "camelot"
+    assert UUID(d["uuid"])
+    assert isinstance(datetime.fromisoformat(d["datetime"]), datetime)
+
+
+def test_metadata_reader_agent_substitutes_model():
+    from paper2table_ray.sources.tablesfile_json import make_metadata
+
+    assert make_metadata(reader="agent", model="special-model")["reader"] == "special-model"
+
+
+def test_metadata_reader_agent_with_none_model():
+    from paper2table_ray.sources.tablesfile_json import make_metadata
+
+    assert make_metadata(reader="agent", model=None)["reader"] is None
+
+
+def test_can_validate_reference_demo_file():
+    import json as _json
+
+    from paper2table_ray.sources.tablesfile_json import validate_tablesfile_obj
+
+    obj = _json.load(
+        open(
+            "/root/reference/tests/data/demo_resultsets/"
+            "39c01438-4af8-4f2a-ac5d-278b9653f565/extended_overview.tables.json"
+        )
+    )
+    assert validate_tablesfile_obj(obj) == []
+
+
+def test_curation_requires_curator():
+    from paper2table_ray.sources.tablesfile_json import validate_tablesfile_obj
+
+    bad = {"tables": [], "citation": "", "metadata": {"curations": [{"description": "x"}]}}
+    assert any("curator" in e for e in validate_tablesfile_obj(bad))
+    ok = {
+        "tables": [],
+        "citation": "",
+        "metadata": {
+            "curations": [
+                {"curator": "Umi", "description": "Corregida", "timestamp": "2026-06-25"}
+            ]
+        },
+    }
+    assert validate_tablesfile_obj(ok) == []
