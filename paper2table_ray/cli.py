@@ -92,6 +92,8 @@ def cmd_tablemerge(argv: List[str]) -> int:
     p.add_argument("--coerce-schema-column-types", action="store_true")
     p.add_argument("--only-semantic-columns", action="store_true")
     p.add_argument("--remove-header-rows", action="store_true")
+    p.add_argument("--transform-tablesfile",
+                   choices=["explode", "safe-compact", "unsafe-compact"])
     args = p.parse_args(argv)
     _ensure_ray()
     from .pipelines.tablemerge import run_tablemerge
@@ -116,6 +118,7 @@ def cmd_tablemerge(argv: List[str]) -> int:
             coerce_schema_column_types=args.coerce_schema_column_types,
             only_semantic_columns=args.only_semantic_columns,
             remove_header_rows=args.remove_header_rows,
+            transform_tablesfile=args.transform_tablesfile,
         )
     summary = run_tablemerge(
         args.resultsets,

@@ -50,13 +50,22 @@ from ..stages.transformers import (
     FilterEmptyRowsTransformer,
     FilterTitleRowsTransformer,
     FragmentValuesReverser,
+    FragmentsExploder,
     LeadingRowNumberTransformer,
     NormalizePunctuationTransformer,
+    SafeConsecutiveFragmentsCompactor,
     SplitColumnTransformer,
+    UnsafeConsecutiveFragmentsCompactor,
     apply_fragment_transformers,
     build_postprocessors,
     filter_header_rows_tablesfile,
 )
+
+_TABLESFILE_TRANSFORMERS = {
+    "explode": FragmentsExploder,
+    "safe-compact": SafeConsecutiveFragmentsCompactor,
+    "unsafe-compact": UnsafeConsecutiveFragmentsCompactor,
+}
 
 MERGED_UUID = "merged"
 
@@ -99,6 +108,10 @@ class MergeConfig:
     normalize_punctuation: bool = False
     split_conjunction_columns: bool = False
     remove_header_rows: bool = False
+    # "explode" | "safe-compact" | "unsafe-compact" | None — applied per
+    # source tablesfile between pretransformers and alignment (reference
+    # tablesfile_loader.py:41, try_parse_tablesfile_transformer)
+    transform_tablesfile: "Optional[str]" = None
 
 
 def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
@@ -117,6 +130,14 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
     if config.split_conjunction_columns:
         pre.append(SplitColumnTransformer(config.semantic_language))
     tf = apply_fragment_transformers(tf, pre)
+
+    if config.transform_tablesfile:
+        transformer_cls = _TABLESFILE_TRANSFORMERS.get(config.transform_tablesfile)
+        if transformer_cls is None:
+            raise ValueError(
+                f"unknown transform_tablesfile: {config.transform_tablesfile!r}"
+            )
+        tf = transformer_cls().transform(tf)
 
     analyzers = [ColumnNamesNormalizerLoadTimeAnalyzer()]
     if config.hints:

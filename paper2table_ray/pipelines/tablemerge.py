@@ -65,6 +65,7 @@ def settings_to_config(
         normalize_punctuation=settings.normalize_punctuation,
         split_conjunction_columns=settings.split_conjunction_columns,
         remove_header_rows=settings.remove_header_rows,
+        transform_tablesfile=settings.transform_tablesfile,
     )
 
 
