@@ -43,7 +43,7 @@ def cmd_extract(argv: List[str]) -> int:
         extract_spans,
         extract_spans_mapped,
         extract_spans_windowed,
-        plan_mappings,
+        plan_mappings_ds,
     )
     from .state.lineage import LineageSink
 
@@ -52,7 +52,9 @@ def cmd_extract(argv: List[str]) -> int:
         sink = LineageSink(args.output, num_partitions=args.partitions)
         docs = sink.filter_pending(sink.add_partition_column(docs))
     if args.mappings:
-        mappings = plan_mappings(docs, cache_dir=args.mappings)
+        # mapping side stays a Dataset end-to-end (in-task cache IO;
+        # extract_spans_mapped size-gates broadcast vs doc_id shard join)
+        mappings = plan_mappings_ds(docs, cache_dir=args.mappings)
         spans = extract_spans_mapped(docs, mappings)
     elif args.windowed:
         spans = extract_spans_windowed(docs, window_spans=args.window_spans)

@@ -60,6 +60,21 @@ class TestCliFlows:
         n2 = ray.data.read_parquet(str(out), file_extensions=["parquet"]).count()
         assert n2 == n1
 
+    def test_extract_mapped_with_cache_dir(self, tmp_path):
+        import ray.data
+
+        from paper2table_ray.pipelines.extract import synth_docs_dataset
+
+        docs_dir = tmp_path / "docs"
+        synth_docs_dataset("/root/testdata/sf0.001").write_parquet(str(docs_dir))
+        out = tmp_path / "spans_mapped"
+        cache = tmp_path / "mappings"
+        assert main(["extract", str(docs_dir), "-o", str(out),
+                     "--mappings", str(cache)]) == 0
+        assert ray.data.read_parquet(str(out)).count() > 0
+        # planner cache files were written in-task
+        assert len(list(cache.glob("*.mapping.json"))) > 0
+
     def test_filenorm_plan_and_apply(self, tmp_path):
         d = tmp_path / "files"
         d.mkdir()

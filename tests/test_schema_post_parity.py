@@ -137,32 +137,24 @@ def coerce_cols(tf):
     return rows_of(tf)[0]["cells"]
 
 
-def test_coerce_types_int():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(year="2020.0")])))["year"] == "2020"
+import pytest
+
+# (column, input, expected canonical string) through the coerce postproc
+_COERCE_CASES = [
+    ("year", "2020.0", "2020"),        # int via float
+    ("length", "3", "3.0"),            # float canonical form
+    ("active", "yes", "True"),         # bool word set
+    ("active", "no", "False"),
+    ("label", "hello", "hello"),       # str no-op
+    ("year", "N/A", "N/A"),            # unconvertible unchanged
+    ("color", "red", "red"),           # non-schema column untouched
+]
 
 
-def test_coerce_types_float():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(length="3")])))["length"] == "3.0"
-
-
-def test_coerce_types_bool_true():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(active="yes")])))["active"] == "True"
-
-
-def test_coerce_types_bool_false():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(active="no")])))["active"] == "False"
-
-
-def test_coerce_types_str_is_noop():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(label="hello")])))["label"] == "hello"
-
-
-def test_coerce_types_unconvertible_left_unchanged():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(year="N/A")])))["year"] == "N/A"
-
-
-def test_coerce_types_non_schema_column_untouched():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(color="red")])))["color"] == "red"
+@pytest.mark.parametrize("col,raw,expected", _COERCE_CASES)
+def test_coerce_types_matrix(col, raw, expected):
+    out = coerce_processor().postprocess(wrap([R(**{col: raw})]))
+    assert coerce_cols(out)[col] == expected
 
 
 def test_coerce_preserves_row_number():
@@ -173,10 +165,7 @@ def test_coerce_preserves_row_number():
 def test_coerce_types_value_with_agreement():
     tf = wrap([R(year=[V("2020.0", 2), V("bad", 1)])])
     values = coerce_cols(coerce_processor().postprocess(tf))["year"]
-    assert isinstance(values, list)
-    assert values[0]["value"] == "2020"
-    assert values[1]["value"] == "bad"
-    assert values[0]["agreement_level"] == 2
+    assert values == [V("2020", 2), V("bad", 1)]
 
 
 def test_coerce_types_preserves_metadata():
@@ -189,7 +178,8 @@ def test_coerce_types_preserves_metadata():
 
 
 def test_coerce_types_none_column_value_left_unchanged():
-    assert coerce_cols(coerce_processor().postprocess(wrap([R(**{"year": None})])))["year"] is None
+    out = coerce_processor().postprocess(wrap([R(**{"year": None})]))
+    assert coerce_cols(out)["year"] is None
 
 
 def test_drop_empty_columns_postprocessor_removes_all_null_column():

@@ -90,19 +90,13 @@ def test_from_args_paths_stored_as_list():
     assert settings.paths == ["a", "b"]
 
 
-def test_from_dict_includes_paths():
-    assert MergeSettings.from_dict({"paths": ["dir_x", "dir_y"]}).paths == [
-        "dir_x",
-        "dir_y",
-    ]
+import pytest
 
 
-def test_to_dict_includes_paths():
+def test_paths_round_trip_and_default():
     s = MergeSettings.from_dict({"paths": ["dir_x", "dir_y"]})
+    assert s.paths == ["dir_x", "dir_y"]
     assert s.to_dict()["paths"] == ["dir_x", "dir_y"]
-
-
-def test_to_dict_paths_defaults_to_empty_list():
     assert MergeSettings.from_dict({}).to_dict()["paths"] == []
 
 
@@ -127,113 +121,50 @@ def test_from_dict_ignores_unknown_attributes():
     assert s.agreement_method == "distinct-readers"
 
 
-def test_merge_settings_from_dict_simple_fields():
-    s = MergeSettings.from_dict(
-        {
-            "agreement_method": "distinct-readers",
-            "drop_empty_columns": False,
-            "drop_empty_tables": False,
-            "only_semantic_columns": True,
-            "remove_header_rows": True,
-        }
-    )
-    assert s.agreement_method == "distinct-readers"
-    assert s.drop_empty_columns is False
-    assert s.drop_empty_tables is False
-    assert s.only_semantic_columns is True
-    assert s.remove_header_rows is True
+# each row: (input overrides, {field: expected in the to_dict round-trip})
+_DICT_CASES = [
+    ("simple_fields",
+     {"agreement_method": "distinct-readers", "drop_empty_columns": False,
+      "only_semantic_columns": True, "remove_header_rows": True},
+     {"agreement_method": "distinct-readers", "drop_empty_columns": False,
+      "drop_empty_tables": True, "only_semantic_columns": True,
+      "remove_header_rows": True}),
+    ("pretransformers",
+     {"filter_title_rows": True, "strip_leading_row_numbers": True},
+     {"filter_title_rows": True, "strip_leading_row_numbers": True,
+      "fix_reversed_column_values": False, "normalize_punctuation": False,
+      "split_conjunction_columns": False}),
+    ("title_filter_off", {"filter_title_rows": False}, {"filter_title_rows": False}),
+    ("reverser_language",
+     {"semantic_language": "es", "fix_reversed_column_values": True},
+     {"semantic_language": "es", "fix_reversed_column_values": True}),
+    ("analyzers",
+     {"jaccard_column_alignment": True, "column_value_semantic_alignment": True,
+      "column_name_semantic_alignment": False, "column_alignment_threshold": 0.7,
+      "semantic_language": "es", "hints_column_alignment": "unsafe"},
+     {"jaccard_column_alignment": True, "column_value_semantic_alignment": True,
+      "column_name_semantic_alignment": False, "column_alignment_threshold": 0.7,
+      "semantic_language": "es", "hints_column_alignment": "unsafe"}),
+    ("hints_safe", {"hints_column_alignment": "safe"},
+     {"hints_column_alignment": "safe"}),
+    ("postprocessors",
+     {"filter_schema_columns": True, "order_schema_columns": False,
+      "coerce_schema_column_types": True},
+     {"filter_schema_columns": True, "order_schema_columns": False,
+      "coerce_schema_column_types": True}),
+] + [
+    (f"transform_{mode}", {"transform_tablesfile": mode},
+     {"transform_tablesfile": mode})
+    for mode in ("explode", "safe-compact", "unsafe-compact")
+]
 
 
-def test_to_dict_simple_fields():
-    d = MergeSettings.from_dict(
-        {
-            "agreement_method": "distinct-readers",
-            "drop_empty_columns": False,
-            "only_semantic_columns": True,
-            "remove_header_rows": True,
-        }
-    ).to_dict()
-    assert d["agreement_method"] == "distinct-readers"
-    assert d["drop_empty_columns"] is False
-    assert d["drop_empty_tables"] is True
-    assert d["only_semantic_columns"] is True
-    assert d["remove_header_rows"] is True
-
-
-def test_to_dict_pretransformers():
-    d = MergeSettings.from_dict(
-        {"filter_title_rows": True, "strip_leading_row_numbers": True}
-    ).to_dict()
-    assert d["filter_title_rows"] is True
-    assert d["strip_leading_row_numbers"] is True
-    assert d["fix_reversed_column_values"] is False
-    assert d["normalize_punctuation"] is False
-    assert d["split_conjunction_columns"] is False
-
-
-def test_to_dict_no_title_filter_when_absent():
-    assert MergeSettings.from_dict({"filter_title_rows": False}).to_dict()[
-        "filter_title_rows"
-    ] is False
-
-
-def test_to_dict_language_from_reverser():
-    d = MergeSettings.from_dict(
-        {"semantic_language": "es", "fix_reversed_column_values": True}
-    ).to_dict()
-    assert d["fix_reversed_column_values"] is True
-    assert d["semantic_language"] == "es"
-
-
-def test_to_dict_tablesfile_transformer_variants():
-    for mode in ("explode", "safe-compact", "unsafe-compact"):
-        assert (
-            MergeSettings.from_dict({"transform_tablesfile": mode}).to_dict()[
-                "transform_tablesfile"
-            ]
-            == mode
-        )
-
-
-def test_to_dict_analyzers():
-    d = MergeSettings.from_dict(
-        {
-            "jaccard_column_alignment": True,
-            "column_value_semantic_alignment": True,
-            "column_name_semantic_alignment": False,
-            "column_alignment_threshold": 0.7,
-            "semantic_language": "es",
-            "hints_column_alignment": "unsafe",
-        }
-    ).to_dict()
-    assert d["jaccard_column_alignment"] is True
-    assert d["column_value_semantic_alignment"] is True
-    assert d["column_name_semantic_alignment"] is False
-    assert d["column_alignment_threshold"] == 0.7
-    assert d["semantic_language"] == "es"
-    assert d["hints_column_alignment"] == "unsafe"
-
-
-def test_to_dict_hints_safe_mode():
-    assert (
-        MergeSettings.from_dict({"hints_column_alignment": "safe"}).to_dict()[
-            "hints_column_alignment"
-        ]
-        == "safe"
-    )
-
-
-def test_to_dict_postprocessors():
-    d = MergeSettings.from_dict(
-        {
-            "filter_schema_columns": True,
-            "order_schema_columns": False,
-            "coerce_schema_column_types": True,
-        }
-    ).to_dict()
-    assert d["filter_schema_columns"] is True
-    assert d["order_schema_columns"] is False
-    assert d["coerce_schema_column_types"] is True
+@pytest.mark.parametrize("case", _DICT_CASES, ids=[c[0] for c in _DICT_CASES])
+def test_from_dict_to_dict_round_trip(case):
+    _name, overrides, expected = case
+    d = MergeSettings.from_dict(overrides).to_dict()
+    for field, value in expected.items():
+        assert d[field] == value, field
 
 
 def test_column_schema_from_settings_dict_empty():

@@ -248,105 +248,67 @@ def test_split_column_transformer_preserves_parentheses_within_part():
         R(city="(Ciudad de) La Paz", country="Bolivia")
     )
 
+# --- NormalizePunctuation (reference 300-445, table-driven) ------------------
 
-# --- NormalizePunctuation (300-445) ------------------------------------------
+import pytest
 
 
 def _punct(fragment):
     return NormalizePunctuationTransformer().transform_fragment(fragment)
 
 
-def test_normalize_punctuation_converts_dash_variants():
-    assert _punct(make_fragment(R(period="2010–2020", range="5—7"))) == make_fragment(
-        R(period="2010-2020", range="5-7")
-    )
+# (case id, input cells, expected cells) — each row is one reference test
+_PUNCT_CASES = [
+    ("dash_variants", {"period": "2010\u20132020", "range": "5\u20147"},
+     {"period": "2010-2020", "range": "5-7"}),
+    ("guillemets", {"species": "\u00abHomo sapiens\u00bb", "note": "\u2039present\u203a"},
+     {"species": "Homo sapiens", "note": "present"}),
+    ("typographic_dquotes", {"value": "\u201cpositive\u201d"}, {"value": "'positive'"}),
+    ("straight_dquotes", {"value": '"yes"'}, {"value": "'yes'"}),
+    # the reference SOURCE (fragment_transformer.py:177) folds every
+    # single-quote variant to the straight quote (its test file's
+    # typographic expectation contradicts its own implementation —
+    # verified by executing the reference normalizer)
+    ("typographic_apostrophe", {"note": "don\u2019t", "opening": "L\u2019Hopital"},
+     {"note": "don't", "opening": "L'Hopital"}),
+    ("acute_combines_with_vowel", {"city": "Mo\u00b4nica", "note": "u\u00b4ltimo"},
+     {"city": "M\u00f3nica", "note": "\u00faltimo"}),
+    ("acute_after_consonant", {"note": "don\u00b4t", "opening": "L\u00b4Hopital"},
+     {"note": "don't", "opening": "L'Hopital"}),
+    ("grave_accent", {"note": "don`t", "opening": "L`Hopital"},
+     {"note": "don't", "opening": "L'Hopital"}),
+    ("prime", {"note": "don\u2032t", "opening": "L\u2032Hopital"},
+     {"note": "don't", "opening": "L'Hopital"}),
+    ("modifier_letters", {"note": "don\u02bct", "opening": "L\u02bbopital"},
+     {"note": "don't", "opening": "L'opital"}),
+    ("ellipsis", {"note": "see below\u2026"}, {"note": "see below..."}),
+    ("trailing_dot_long_word", {"species": "Homo sapiens.", "location": "North America."},
+     {"species": "Homo sapiens", "location": "North America"}),
+    ("trailing_dot_short_word_kept",
+     {"citation": "et al.", "figure": "Fig.", "taxon": "spp.", "rank": "sp."},
+     {"citation": "et al.", "figure": "Fig.", "taxon": "spp.", "rank": "sp."}),
+    ("none_value", {"species": "Homo sapiens.", "note": None},
+     {"species": "Homo sapiens", "note": None}),
+]
 
 
-def test_normalize_punctuation_removes_guillemets():
-    assert _punct(
-        make_fragment(R(species="«Homo sapiens»", note="‹present›"))
-    ) == make_fragment(R(species="Homo sapiens", note="present"))
-
-
-def test_normalize_punctuation_converts_typographic_double_quotes_to_single():
-    assert _punct(make_fragment(R(value="“positive”"))) == make_fragment(
-        R(value="'positive'")
-    )
-
-
-def test_normalize_punctuation_converts_straight_double_quotes_to_single():
-    assert _punct(make_fragment(R(value='"yes"'))) == make_fragment(R(value="'yes'"))
-
-
-def test_normalize_punctuation_normalizes_typographic_apostrophe():
-    # NOTE: the reference TEST file expects the typographic ’ here, but its
-    # own source (fragment_transformer.py:177) substitutes the straight
-    # quote — we match the SOURCE (ground truth verified by executing it)
-    assert _punct(make_fragment(R(note="don’t", opening="L’Hopital"))) == make_fragment(
-        R(note="don't", opening="L'Hopital")
-    )
-
-
-def test_normalize_punctuation_combines_acute_with_vowel():
-    assert _punct(make_fragment(R(city="Mo´nica", note="u´ltimo"))) == make_fragment(
-        R(city="Mónica", note="último")
-    )
-
-
-def test_normalize_punctuation_acute_after_non_vowel_becomes_apostrophe():
-    assert _punct(make_fragment(R(note="don´t", opening="L´Hopital"))) == make_fragment(
-        R(note="don't", opening="L'Hopital")
-    )
-
-
-def test_normalize_punctuation_normalizes_grave_accent_apostrophe():
-    assert _punct(make_fragment(R(note="don`t", opening="L`Hopital"))) == make_fragment(
-        R(note="don't", opening="L'Hopital")
-    )
-
-
-def test_normalize_punctuation_normalizes_prime_apostrophe():
-    assert _punct(make_fragment(R(note="don′t", opening="L′Hopital"))) == make_fragment(
-        R(note="don't", opening="L'Hopital")
-    )
-
-
-def test_normalize_punctuation_normalizes_modifier_letter_apostrophe():
-    assert _punct(make_fragment(R(note="donʼt", opening="Lʻopital"))) == make_fragment(
-        R(note="don't", opening="L'opital")
-    )
-
-
-def test_normalize_punctuation_converts_ellipsis():
-    assert _punct(make_fragment(R(note="see below…"))) == make_fragment(
-        R(note="see below...")
-    )
-
-
-def test_normalize_punctuation_removes_trailing_dot_after_long_word():
-    assert _punct(
-        make_fragment(R(species="Homo sapiens.", location="North America."))
-    ) == make_fragment(R(species="Homo sapiens", location="North America"))
-
-
-def test_normalize_punctuation_keeps_trailing_dot_after_short_word():
-    frag = make_fragment(R(citation="et al.", figure="Fig.", taxon="spp.", rank="sp."))
-    assert _punct(frag) == frag
-
-
-def test_normalize_punctuation_handles_none_value():
-    assert _punct(
-        make_fragment(R(species="Homo sapiens.", note=None))
-    ) == make_fragment(R(species="Homo sapiens", note=None))
+@pytest.mark.parametrize("case", _PUNCT_CASES, ids=[c[0] for c in _PUNCT_CASES])
+def test_normalize_punctuation_matrix(case):
+    _name, cells_in, cells_out = case
+    assert _punct(make_fragment(R(**cells_in))) == make_fragment(R(**cells_out))
 
 
 def test_normalize_punctuation_transforms_list_values():
-    assert _punct(
-        make_fragment(R(species=[V("Homo sapiens.", 2), V("“positive”", 1)]))
-    ) == make_fragment(R(species=[V("Homo sapiens", 2), V("'positive'", 1)]))
+    got = _punct(
+        make_fragment(R(species=[V("Homo sapiens.", 2), V("\u201cpositive\u201d", 1)]))
+    )
+    assert got == make_fragment(R(species=[V("Homo sapiens", 2), V("'positive'", 1)]))
 
 
 def test_normalize_punctuation_preserves_row_special_fields():
-    assert _punct(
+    got = _punct(
         make_fragment(R(species="Homo sapiens.", _level=3, _sources=["s1"], _row=5))
-    ) == make_fragment(R(species="Homo sapiens", _level=3, _sources=["s1"], _row=5))
+    )
+    assert got == make_fragment(
+        R(species="Homo sapiens", _level=3, _sources=["s1"], _row=5)
+    )

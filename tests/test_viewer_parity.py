@@ -216,39 +216,38 @@ def test_render_citation_list():
     )
 
 
-def test_compute_rowspans_no_row_numbers():
-    rows = [R(family="Apiaceae"), R(family="Apiaceae")]
-    assert compute_rowspans(rows, ["family"]) == [{"family": 1}, {"family": 1}]
+import pytest
+
+# (case, rows, columns, expected spans)
+_ROWSPAN_CASES = [
+    ("no_row_numbers",
+     [dict(family="Apiaceae"), dict(family="Apiaceae")], None,
+     ["family"], [{"family": 1}, {"family": 1}]),
+    ("different_row_numbers",
+     [dict(family="Apiaceae"), dict(family="Apiaceae")], [0, 1],
+     ["family"], [{"family": 1}, {"family": 1}]),
+    ("same_row_same_value",
+     [dict(family="Apiaceae"), dict(family="Apiaceae")], [0, 0],
+     ["family"], [{"family": 2}, {"family": 0}]),
+    ("same_row_per_column",
+     [dict(family="Apiaceae", species="Ammi majus"),
+      dict(family="Apiaceae", species="Carum carvi")], [0, 0],
+     ["family", "species"],
+     [{"family": 2, "species": 1}, {"family": 0, "species": 1}]),
+    ("three_rows_same_number",
+     [dict(family="Apiaceae")] * 3, [0, 0, 0],
+     ["family"], [{"family": 3}, {"family": 0}, {"family": 0}]),
+]
 
 
-def test_compute_rowspans_different_row_numbers():
-    rows = [R(family="Apiaceae", _row=0), R(family="Apiaceae", _row=1)]
-    assert compute_rowspans(rows, ["family"]) == [{"family": 1}, {"family": 1}]
-
-
-def test_compute_rowspans_same_row_same_value():
-    rows = [R(family="Apiaceae", _row=0), R(family="Apiaceae", _row=0)]
-    assert compute_rowspans(rows, ["family"]) == [{"family": 2}, {"family": 0}]
-
-
-def test_compute_rowspans_same_row_different_values_per_column():
+@pytest.mark.parametrize("case", _ROWSPAN_CASES, ids=[c[0] for c in _ROWSPAN_CASES])
+def test_compute_rowspans_matrix(case):
+    _name, cell_dicts, row_nums, columns, expected = case
     rows = [
-        R(family="Apiaceae", species="Ammi majus", _row=0),
-        R(family="Apiaceae", species="Carum carvi", _row=0),
+        R(_row=(row_nums[i] if row_nums else None), **cells)
+        for i, cells in enumerate(cell_dicts)
     ]
-    assert compute_rowspans(rows, ["family", "species"]) == [
-        {"family": 2, "species": 1},
-        {"family": 0, "species": 1},
-    ]
-
-
-def test_compute_rowspans_three_rows_same_row_number():
-    rows = [R(family="Apiaceae", _row=0)] * 3
-    assert compute_rowspans(rows, ["family"]) == [
-        {"family": 3},
-        {"family": 0},
-        {"family": 0},
-    ]
+    assert compute_rowspans(rows, columns) == expected
 
 
 def test_build_fragment_html_merges_shared_column_value():
