@@ -48,10 +48,11 @@ def _fragment_frames(tf: dict) -> List[pd.DataFrame]:
     return frames
 
 
-def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
-    """Distributed flatten: cells → long frame
+def cells_to_csv_tables_ds(cells: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed flatten: cells → long rows
     (doc_id, table_idx, csv_row_idx, column, value) ready for per-table
-    CSV assembly; runs inside the doc groupby (no driver loop)."""
+    CSV assembly; runs inside the doc groupby (no driver loop) and STAYS
+    a Dataset — callers needing a frame use cells_to_csv_tables."""
 
     def per_doc(group: pa.Table) -> pd.DataFrame:
         records = table_to_row_records(group)
@@ -99,7 +100,13 @@ def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
 
     from ..stages.shuffle import groupby_apply
 
-    return groupby_apply(cells, "doc_id", per_doc).to_pandas()
+    return groupby_apply(cells, "doc_id", per_doc)
+
+
+def cells_to_csv_tables(cells: ray.data.Dataset) -> pd.DataFrame:
+    """Driver-frame wrapper over :func:`cells_to_csv_tables_ds` (used by
+    the per-table CSV assembly, which pivots on the driver)."""
+    return cells_to_csv_tables_ds(cells).to_pandas()
 
 
 def write_csvs(cells: ray.data.Dataset, output_dir: str) -> List[str]:

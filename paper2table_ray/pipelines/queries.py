@@ -403,10 +403,10 @@ def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = simhash_pairs(ds, max_hamming=6).to_pandas()
-    if len(out):
-        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return out
+    # rows-only query: return the STREAMING Dataset (the ~10^6-pair
+    # result would otherwise materialize on the driver; the driver's
+    # rows-only check needs only the count)
+    return simhash_pairs(ds, max_hamming=6)
 
 
 def q_embedding_dedup(sf_dir: str):
@@ -900,11 +900,11 @@ def q_csv_export(sf_dir: str):
     from .export import cells_to_csv_tables
     from .merge import MergeConfig, merge_pipeline
 
+    from .export import cells_to_csv_tables_ds
+
     merged = merge_pipeline(_synth_cells(sf_dir), MergeConfig())
-    out = cells_to_csv_tables(merged)
-    return out.sort_values(
-        ["doc_id", "table_idx", "csv_row", "column"]
-    ).reset_index(drop=True)
+    # rows-only: stays a streaming Dataset (no driver materialization)
+    return cells_to_csv_tables_ds(merged)
 
 
 def q_audio_features(sf_dir: str):
