@@ -39,6 +39,45 @@ def _key_hash(batch: pa.Table, keys: List[str]) -> np.ndarray:
     return acc
 
 
+def apply_fn_per_group(
+    tbl: pa.Table,
+    key_list: List[str],
+    fn: Callable,
+    batch_format: str = "pyarrow",
+) -> Union[pa.Table, pd.DataFrame]:
+    """The in-task group-apply kernel shared by ``groupby_apply`` and the
+    bucketed-store ``map_partitions`` path: vectorized sort + run-boundary
+    scan over the composite key, ``fn`` applied once per full group."""
+    tbl = tbl.sort_by([(k, "ascending") for k in key_list])
+    n = tbl.num_rows
+    if n == 0:
+        return pd.DataFrame()
+    marks = np.zeros(n, dtype=bool)
+    for k in key_list:
+        arr = tbl.column(k).to_numpy(zero_copy_only=False)
+        marks[1:] |= arr[1:] != arr[:-1]
+    starts = np.flatnonzero(np.concatenate(([True], marks[1:])))
+    ends = np.append(starts[1:], n)
+    outs = []
+    for s, e in zip(starts, ends):
+        group = tbl.slice(s, e - s)
+        if batch_format == "pandas":
+            group = group.to_pandas()
+        out = fn(group)
+        if out is None:
+            continue
+        if isinstance(out, pd.DataFrame):
+            if len(out):
+                outs.append(out)
+        elif out.num_rows:
+            outs.append(out)
+    if not outs:
+        return pd.DataFrame()
+    if isinstance(outs[0], pd.DataFrame):
+        return pd.concat(outs, ignore_index=True)
+    return pa.concat_tables(outs)
+
+
 def groupby_apply(
     ds: ray.data.Dataset,
     keys: Union[str, List[str]],
@@ -59,37 +98,8 @@ def groupby_apply(
         return batch.append_column(_SHARD_COL, pa.array(shard))
 
     def run_shard(shard_tbl: pa.Table) -> Union[pa.Table, pd.DataFrame]:
-        tbl = shard_tbl.drop_columns([_SHARD_COL]).sort_by(
-            [(k, "ascending") for k in key_list]
-        )
-        n = tbl.num_rows
-        if n == 0:
-            return pd.DataFrame()
-        # run boundaries over the sorted composite key
-        marks = np.zeros(n, dtype=bool)
-        for k in key_list:
-            arr = tbl.column(k).to_numpy(zero_copy_only=False)
-            marks[1:] |= arr[1:] != arr[:-1]
-        starts = np.flatnonzero(np.concatenate(([True], marks[1:])))
-        ends = np.append(starts[1:], n)
-        outs = []
-        for s, e in zip(starts, ends):
-            group = tbl.slice(s, e - s)
-            if batch_format == "pandas":
-                group = group.to_pandas()
-            out = fn(group)
-            if out is None:
-                continue
-            if isinstance(out, pd.DataFrame):
-                if len(out):
-                    outs.append(out)
-            elif out.num_rows:
-                outs.append(out)
-        if not outs:
-            return pd.DataFrame()
-        if isinstance(outs[0], pd.DataFrame):
-            return pd.concat(outs, ignore_index=True)
-        return pa.concat_tables(outs)
+        tbl = shard_tbl.drop_columns([_SHARD_COL])
+        return apply_fn_per_group(tbl, key_list, fn, batch_format)
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow")
