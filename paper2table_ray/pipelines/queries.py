@@ -56,6 +56,28 @@ def _synth_cells(sf_dir: str, runs: int = 3):
     return _SYNTH_CELLS_CACHE[key]
 
 
+_MERGED_CELLS_CACHE: dict = {}
+
+
+def _merged_cells(sf_dir: str):
+    """Session-cached merged resultsets (column-agreement config): the
+    merge is python-heavy and two queries (merge_cells, csv_export)
+    consume the same merged corpus. Keyed by Ray job id like
+    _synth_cells."""
+    from .merge import MergeConfig, merge_pipeline
+
+    job_id = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    )
+    key = (sf_dir, job_id)
+    if key not in _MERGED_CELLS_CACHE:
+        _MERGED_CELLS_CACHE.clear()
+        _MERGED_CELLS_CACHE[key] = merge_pipeline(
+            _synth_cells(sf_dir), MergeConfig(column_agreement=True)
+        ).materialize()
+    return _MERGED_CELLS_CACHE[key]
+
+
 def round_sql(x, ndigits: int):
     """DuckDB-compatible rounding (half AWAY from zero). numpy/pyarrow/
     pandas round half-to-even, which disagrees with SQL ROUND() on exact
@@ -622,10 +644,8 @@ def q_merge_cells(sf_dir: str):
     (dynamic per-row columns + agreement lists) is not SQL-shaped; its
     correctness gate is tests/test_merge_pipeline.py's doc-local equality."""
     from ..schema import table_to_row_records
-    from .merge import MergeConfig, merge_pipeline
 
-    cells = _synth_cells(sf_dir)
-    merged = merge_pipeline(cells, MergeConfig(column_agreement=True))
+    merged = _merged_cells(sf_dir)
 
     def flatten(batch: pa.Table) -> pd.DataFrame:
         recs = table_to_row_records(batch)
@@ -898,13 +918,12 @@ def q_csv_export(sf_dir: str):
     """table2csv-analogue flatten (SURVEY.md S13): merged cells → long
     (doc, table, row, column, value) frame; rows-only."""
     from .export import cells_to_csv_tables
-    from .merge import MergeConfig, merge_pipeline
 
     from .export import cells_to_csv_tables_ds
 
-    merged = merge_pipeline(_synth_cells(sf_dir), MergeConfig())
-    # rows-only: stays a streaming Dataset (no driver materialization)
-    return cells_to_csv_tables_ds(merged)
+    # rows-only: stays a streaming Dataset (no driver materialization);
+    # shares the session-cached merged corpus with merge_cells
+    return cells_to_csv_tables_ds(_merged_cells(sf_dir))
 
 
 def q_audio_features(sf_dir: str):
