@@ -139,14 +139,31 @@ class SpanExtractor:
         self, spans: List[dict], mapping: Optional[dict] = None
     ) -> List[Tuple[str, str, str]]:
         """One doc's input spans (offset order) → ordered (kind, text,
-        media_ref) output sequence."""
+        media_ref) output sequence. ``mapping`` accepts both the
+        reference's TablesMapping JSON shape and the compact form
+        (stages/llmclient.normalize_tables_mapping)."""
+        from .llmclient import normalize_tables_mapping
+
+        norm = normalize_tables_mapping(mapping) if mapping else None
         out: List[Tuple[str, str, str]] = []
         table_run: List[str] = []
         table_no = [0]  # fragment counter (for first_page_only header mode)
 
         def flush_table():
             if table_run:
-                out.extend(self._extract_table(table_run, mapping, table_no[0]))
+                tm = None
+                skip = False
+                if norm is not None:
+                    if norm["apply_to_all"]:
+                        tm = norm["tables"][0]
+                    elif table_no[0] < len(norm["tables"]):
+                        tm = norm["tables"][table_no[0]]
+                    else:
+                        # reference mapped path reads ONLY mapped tables
+                        # (document.py:80-123): unmapped runs are skipped
+                        skip = True
+                if not skip:
+                    out.extend(self._extract_table(table_run, tm, table_no[0]))
                 table_no[0] += 1
                 table_run.clear()
 

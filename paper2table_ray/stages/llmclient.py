@@ -48,6 +48,56 @@ def unwrap_cause(exc: BaseException) -> BaseException:
     return cause
 
 
+def normalize_tables_mapping(obj: dict) -> dict:
+    """Accept BOTH mapping-file shapes and return the internal form:
+
+    - the reference's ``TablesMapping`` JSON (mapping.py:19-52):
+      ``{"tables": [{title, header_mode, first_page, last_page,
+      column_mappings: [{from_column_number, to_column_name}]}],
+      "citation", "metadata"}`` — a reference user's existing
+      ``*.mapping.json`` cache files load unmodified;
+    - this repo's compact single-table form:
+      ``{"header_mode", "column_mappings": {ordinal: name}}``.
+
+    Internal form: ``{"tables": [{"header_mode", "column_mappings":
+    {ordinal(str): name}}]}`` — per-table-run mappings in order. The
+    compact form becomes a single entry marked ``"apply_to_all": True``
+    (current behavior: the one mapping applies to every table run); the
+    reference multi-table form maps table run i → tables[i] and SKIPS
+    runs beyond the list (the reference's mapped path reads ONLY mapped
+    tables, document.py:80-123)."""
+    if "tables" in obj and isinstance(obj["tables"], list):
+        tables = []
+        for t in obj["tables"]:
+            cms = t.get("column_mappings") or []
+            if isinstance(cms, dict):
+                mappings = {str(k): v for k, v in cms.items()}
+            else:
+                mappings = {
+                    str(cm["from_column_number"]): cm["to_column_name"]
+                    for cm in cms
+                }
+            tables.append(
+                {
+                    "header_mode": t.get("header_mode", "all_pages"),
+                    "column_mappings": mappings,
+                }
+            )
+        return {"tables": tables, "apply_to_all": False}
+    return {
+        "tables": [
+            {
+                "header_mode": obj.get("header_mode", "all_pages"),
+                "column_mappings": {
+                    str(k): v
+                    for k, v in (obj.get("column_mappings") or {}).items()
+                },
+            }
+        ],
+        "apply_to_all": True,
+    }
+
+
 class TablesModelClient(Protocol):
     """What a real LLM backend must implement to slot into the hybrid
     planner. ``spans`` are the doc's input spans (offset order not

@@ -222,3 +222,43 @@ class TestStrategySweep:
         rows = [("table_row", None, "")]
         out = _spans_df(extract_spans(ray.data.from_arrow(_doc("dq", rows))))
         assert out["kind"].tolist() == ["error"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReferenceMappingFormat:
+    """A reference user's ``*.mapping.json`` cache files (the full
+    TablesMapping shape, mapping.py:19-52) load unmodified — including
+    multi-table mappings where unmapped table runs are SKIPPED, matching
+    the reference's read-only-mapped-tables semantics."""
+
+    def _two_table_doc(self):
+        rows = [
+            ("table_row", CELL_SEP.join(["Name", "Height", "Species"]), ""),
+            ("table_row", CELL_SEP.join(["Rose", "1m", "Rosa canina"]), ""),
+            ("text", "interlude " + "z" * 30, ""),
+            ("table_row", CELL_SEP.join(["ignored", "also ignored"]), ""),
+        ]
+        return ray.data.from_arrow(_doc("docref", rows))
+
+    def test_reference_demo_mapping_shape_applies(self):
+        reference_mapping = json.load(
+            open("/root/reference/tests/data/mappings/demo_table.mapping.json")
+        )
+        out = _spans_df(
+            extract_spans_mapped(self._two_table_doc(), {"docref": reference_mapping})
+        )
+        header = out[out["kind"] == "table"]["text"].iloc[0]
+        assert header == CELL_SEP.join(["name", "species"])
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            CELL_SEP.join(["Rose", "Rosa canina"])
+        ]
+        # only ONE mapped table in the file → the second run is skipped
+        assert (out["kind"] == "table").sum() == 1
+
+    def test_compact_form_unchanged_applies_to_all_runs(self):
+        compact = {"header_mode": "all_pages", "column_mappings": {"0": "name"}}
+        out = _spans_df(
+            extract_spans_mapped(self._two_table_doc(), {"docref": compact})
+        )
+        # compact single mapping keeps the apply-to-every-run behavior
+        assert (out["kind"] == "table").sum() == 2
