@@ -76,7 +76,9 @@ def cmd_tablemerge(argv: List[str]) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--settings", help="settings.tablemerge.json to load")
     p.add_argument("--column-names-hints")
+    p.add_argument("--column-names-hints-path")
     p.add_argument("--column-aliases")
+    p.add_argument("--column-aliases-path")
     p.add_argument("--jaccard-column-alignment", action="store_true")
     p.add_argument("--agreement-method", default="simple-count",
                    choices=["simple-count", "distinct-readers", "none"])
@@ -85,6 +87,7 @@ def cmd_tablemerge(argv: List[str]) -> int:
     p.add_argument("--paper", help="regex: merge only matching doc ids")
     p.add_argument("--paper-aliases",
                    help="'alias:canonical[:page_offset]' doc aliases")
+    p.add_argument("--paper-aliases-path")
     p.add_argument("--schema",
                    help="inline 'column:type' schema (required by the "
                         "--*-schema-* flags; reference __main__.py:457-465)")
@@ -101,19 +104,30 @@ def cmd_tablemerge(argv: List[str]) -> int:
     from .pipelines.tablemerge import run_tablemerge
     from .state.settings import MergeSettings
 
-    schema_text = args.schema
-    if not schema_text and args.schema_path:
-        schema_text = open(args.schema_path, encoding="utf-8").read()
+    def _inline_or_path(inline, path):
+        if inline is not None:
+            return inline
+        if path:
+            return open(path, encoding="utf-8").read().strip()
+        return None
+
+    schema_text = _inline_or_path(args.schema, args.schema_path)
     if args.settings:
         settings = MergeSettings.from_dict(json.load(open(args.settings)))
     else:
         settings = MergeSettings(
-            column_names_hints=args.column_names_hints,
-            column_aliases=args.column_aliases,
+            column_names_hints=_inline_or_path(
+                args.column_names_hints, args.column_names_hints_path
+            ),
+            column_aliases=_inline_or_path(
+                args.column_aliases, args.column_aliases_path
+            ),
             jaccard_column_alignment=args.jaccard_column_alignment,
             agreement_method=args.agreement_method,
             pretty=args.pretty,
-            paper_aliases=args.paper_aliases,
+            paper_aliases=_inline_or_path(
+                args.paper_aliases, args.paper_aliases_path
+            ),
             schema=schema_text,
             filter_schema_columns=args.filter_schema_columns,
             order_schema_columns=args.order_schema_columns,
@@ -137,7 +151,7 @@ def cmd_tablestats(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="tablestats")
     p.add_argument("resultsets", nargs="+")
     p.add_argument("-o", "--output", help="write JSON here (default stdout)")
-    p.add_argument("--sort", choices=["asc", "desc"], default="asc",
+    p.add_argument("--sort", choices=["none", "asc", "desc"], default="asc",
                    help="order the per-paper list by table count (O3)")
     p.add_argument("--top", type=int, help="keep only the top N papers")
     p.add_argument("--format", choices=["json", "text"], default="json",
@@ -158,7 +172,10 @@ def cmd_tablestats(argv: List[str]) -> int:
     stats = global_stats(per_paper)
     stats["empty_papers"] = empty_papers(per_paper).count()
     stats["columns"] = collect_unique_columns(cells)
-    ordered = per_paper.sort("tables", descending=(args.sort == "desc"))
+    if args.sort == "none":
+        ordered = per_paper
+    else:
+        ordered = per_paper.sort("tables", descending=(args.sort == "desc"))
     if args.top:
         ordered = ordered.limit(args.top)
     stats["papers_by_tables"] = [
