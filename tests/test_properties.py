@@ -213,3 +213,124 @@ def test_popcount64_matches_python(xs):
     got = dd.popcount64(arr.copy())
     exp = np.array([int(x).bit_count() for x in xs], dtype=np.int64)
     assert np.array_equal(got, exp)
+
+
+# --- round-2 kernel properties ------------------------------------------------
+
+
+class TestGroupKernelProperties:
+    """apply_fn_per_group must deliver EXACTLY one full group per key —
+    equivalent to a pandas groupby-apply — for arbitrary key layouts."""
+
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_matches_pandas_groupby(self, keys, seed):
+        import pandas as pd
+        import pyarrow as pa
+
+        from paper2table_ray.stages.shuffle import apply_fn_per_group
+
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 100, size=len(keys))
+        tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals)})
+
+        def summarize(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                [{"k": int(g["k"].iloc[0]), "n": len(g), "s": int(g["v"].sum())}]
+            )
+
+        got = (
+            apply_fn_per_group(tbl, ["k"], summarize, batch_format="pandas")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        expect = (
+            tbl.to_pandas()
+            .groupby("k", as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .astype({"k": int, "n": int, "s": int})
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got.astype(int).equals(expect)
+
+
+class TestMappingNormalizationProperties:
+    """normalize_tables_mapping: compact form always apply-to-all with
+    stringified ordinals; reference form preserves table order."""
+
+    @given(
+        n_cols=st.integers(min_value=0, max_value=6),
+        header_mode=st.sampled_from(["all_pages", "first_page_only", "none"]),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_compact_form(self, n_cols, header_mode):
+        from paper2table_ray.stages.llmclient import normalize_tables_mapping
+
+        compact = {
+            "header_mode": header_mode,
+            "column_mappings": {i: f"c{i}" for i in range(n_cols)},
+        }
+        out = normalize_tables_mapping(compact)
+        assert out["apply_to_all"] is True
+        assert len(out["tables"]) == 1
+        t = out["tables"][0]
+        assert t["header_mode"] == header_mode
+        assert t["column_mappings"] == {str(i): f"c{i}" for i in range(n_cols)}
+
+    @given(n_tables=st.integers(min_value=0, max_value=4))
+    @settings(max_examples=20, deadline=None)
+    def test_reference_form(self, n_tables):
+        from paper2table_ray.stages.llmclient import normalize_tables_mapping
+
+        ref = {
+            "tables": [
+                {
+                    "title": f"t{i}",
+                    "header_mode": "all_pages",
+                    "first_page": 1,
+                    "last_page": 2,
+                    "column_mappings": [
+                        {"from_column_number": 0, "to_column_name": f"name{i}"}
+                    ],
+                }
+                for i in range(n_tables)
+            ],
+            "citation": "x",
+            "metadata": None,
+        }
+        out = normalize_tables_mapping(ref)
+        assert out["apply_to_all"] is False
+        assert [t["column_mappings"] for t in out["tables"]] == [
+            {"0": f"name{i}"} for i in range(n_tables)
+        ]
+
+
+class TestFoldProperties:
+    @given(st.text(max_size=40))
+    @settings(max_examples=80, deadline=None)
+    def test_ascii_fold_idempotent_and_ascii_stable(self, s):
+        from paper2table_ray.functions.text import ascii_fold
+
+        once = ascii_fold(s)
+        assert ascii_fold(once) == once
+        if s.isascii():
+            assert once == s
+
+    @given(
+        st.lists(
+            st.sampled_from(["Αθήνα", "Москва", "北京", "café", "plain", "żółć"]),
+            min_size=2,
+            max_size=2,
+            unique=True,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_distinct_scripts_never_collapse(self, pair):
+        from paper2table_ray.functions.text import ascii_fold
+
+        a, b = pair
+        assert ascii_fold(a) != ascii_fold(b)
