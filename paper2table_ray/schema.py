@@ -148,14 +148,54 @@ def rows_to_table(records: List[dict]) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=CELLS_SCHEMA)
 
 
+def _decode_cells_column(ca: pa.Array) -> List[dict]:
+    """Flat-buffer decode of the cells ``map<string, list<struct>>``
+    column: ~3× faster than ``MapArray.to_pylist`` (which boxes every
+    entry as a (key, [dict]) tuple before we re-dict it). Children are
+    sliced to the needed range first, so per-group slices stay O(group).
+    Offset arithmetic is base-relative (``offsets[0]`` need not be 0)."""
+    n = len(ca)
+    if n == 0:
+        return []
+    offsets = ca.offsets.to_numpy()
+    k_start, k_end = int(offsets[0]), int(offsets[n])
+    keys = ca.keys.slice(k_start, k_end - k_start).to_pylist()
+    items = ca.items  # list<struct<value, agreement_level>>
+    io = items.offsets.to_numpy()[k_start : k_end + 1] if k_end > k_start else []
+    if k_end > k_start:
+        v_start, v_end = int(io[0]), int(io[-1])
+        structs = items.values.slice(v_start, v_end - v_start)
+        vals = structs.field("value").to_pylist()
+        lvls = structs.field("agreement_level").to_pylist()
+    else:
+        v_start = 0
+        vals, lvls = [], []
+    out = []
+    for r in range(n):
+        o1, o2 = offsets[r] - k_start, offsets[r + 1] - k_start
+        cells = {}
+        for k in range(o1, o2):
+            i1, i2 = io[k] - v_start, io[k + 1] - v_start
+            cells[keys[k]] = decode_cell(
+                [(vals[i], lvls[i]) for i in range(i1, i2)]
+            )
+        out.append(cells)
+    return out
+
+
 def table_to_row_records(table: pa.Table) -> List[dict]:
     """Inverse of ``rows_to_table`` (order-preserving)."""
-    data = table.to_pydict()
+    names = [n for n in table.column_names if n != "cells"]
+    data = {name: table.column(name).to_pylist() for name in names}
+    cells_col = table.column("cells")
+    if isinstance(cells_col, pa.ChunkedArray):
+        cells_col = cells_col.combine_chunks()
+    cells_list = _decode_cells_column(cells_col)
     n = table.num_rows
     out = []
     for i in range(n):
-        rec = {name: data[name][i] for name in table.column_names if name != "cells"}
-        rec["cells"] = decode_cells(data["cells"][i])
+        rec = {name: data[name][i] for name in names}
+        rec["cells"] = cells_list[i]
         out.append(rec)
     return out
 
