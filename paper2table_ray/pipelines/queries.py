@@ -60,9 +60,12 @@ _MERGED_CELLS_CACHE: dict = {}
 
 
 def _merged_cells(sf_dir: str):
-    """Session-cached merged resultsets (column-agreement config): the
-    merge is python-heavy and two queries (merge_cells, csv_export)
-    consume the same merged corpus. Keyed by Ray job id like
+    """Session-cached merged-resultsets PLAN (column-agreement config):
+    merge_cells and csv_export consume the same merged corpus. The plan
+    stays LAZY — each consumer executes merge→its-own-flatten as one
+    fused streaming pipeline (a materialize barrier here was measured
+    ~2× slower end-to-end than the fused plans, since the flatten
+    pipelines with the merge shuffle). Keyed by Ray job id like
     _synth_cells."""
     from .merge import MergeConfig, merge_pipeline
 
@@ -74,7 +77,7 @@ def _merged_cells(sf_dir: str):
         _MERGED_CELLS_CACHE.clear()
         _MERGED_CELLS_CACHE[key] = merge_pipeline(
             _synth_cells(sf_dir), MergeConfig(column_agreement=True)
-        ).materialize()
+        )
     return _MERGED_CELLS_CACHE[key]
 
 
