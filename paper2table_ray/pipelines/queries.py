@@ -398,16 +398,24 @@ def q_lang_id(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    """Composite quality score (rows-only: heuristic formula)."""
+    """Composite quality score (length band + stopword ratio + punctuation
+    sanity), DuckDB-oracled: every term is SQL-expressible (regex token
+    count, inlined 20-word stopword set, punct ratio); scores rounded to
+    6dp on both sides to absorb cross-engine float noise."""
     from ..stages.textqc import add_quality_score, add_text_features
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(add_text_features, batch_format="pyarrow").map_batches(
-        add_quality_score, batch_format="pyarrow"
+    out = (
+        ds.map_batches(add_text_features, batch_format="pyarrow")
+        .map_batches(add_quality_score, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "quality_score"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "quality_score"]), batch_format="pyarrow"
-    )
+    out["quality_score"] = round_sql(out["quality_score"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -1321,6 +1329,34 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "quality_scores": """
+        WITH feats AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token_count,
+                   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       AS punct_count,
+                   greatest(length(text), 1) AS n_chars,
+                   len(list_filter(
+                       regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                       x -> x IN ('the','and','of','to','a','in','is','was','for','on','with','as','by','that','it','from','at','this','are','be')
+                   )) AS stop_hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   least(token_count / 100.0, 1.0) AS length_score,
+                   least((CASE WHEN token_count > 0
+                               THEN stop_hits::DOUBLE / token_count
+                               ELSE 0.0 END) / 0.4, 1.0) AS stop_score,
+                   1.0 - least((punct_count::DOUBLE / n_chars) / 0.25, 1.0)
+                       AS punct_score
+            FROM feats
+        )
+        SELECT doc_id,
+               round((length_score + stop_score + punct_score) / 3.0, 6)
+                   AS quality_score
+        FROM scored
+        ORDER BY doc_id
     """,
     "filenorm_plan": """
         WITH hashed AS (
