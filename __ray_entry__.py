@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 39 queries, 24 with
-DuckDB oracles. Ops whose semantics are not SQL-expressible (LSH dedup,
-language-ID, the cells merge model, extraction over the synthesized
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 40 queries, 28 with
+DuckDB oracles. Ops whose semantics are not SQL-expressible (LSH dedup
+pair sets, the cells merge model, extraction over the synthesized
 interleaved corpus) are rows-only by design — their correctness gates are
 the pytest span-equality / brute-force / reference-fixture tests.
 

@@ -189,8 +189,14 @@ def q_orders_by_nation(sf_dir: str):
 
     def attach_nation_and_preagg(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(n_sorted, nk)
-        names = n_names.take(pa.array(np.minimum(pos, len(n_sorted) - 1)))
+        pos = np.minimum(np.searchsorted(n_sorted, nk), len(n_sorted) - 1)
+        # verify the probe actually matched (inner-join semantics) — a gap
+        # in the dimension must drop the row, never attach a wrong name
+        matched = n_sorted[pos] == nk
+        if not matched.all():
+            batch = batch.filter(pa.array(matched))
+            pos = pos[matched]
+        names = n_names.take(pa.array(pos))
         df = pd.DataFrame(
             {
                 "n_name": names.to_pandas(),
@@ -384,17 +390,23 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (rows-only check: stopword sets aren't
-    reasonably SQL-portable)."""
+    """Language-ID heuristic, DuckDB-oracled: the oracle inlines all four
+    stopword sets and replicates the priority tie-break (argmax with ties
+    to earliest of en > es > de > fr; zero hits → 'und') as a CASE chain —
+    same pattern quality_scores uses for the single en set."""
     from ..stages.textqc import LanguageId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        LanguageId, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    out = (
+        ds.map_batches(
+            LanguageId, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+        )
+        .map_batches(
+            lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+        )
+        .to_pandas()
     )
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
-    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_quality_scores(sf_dir: str):
@@ -419,16 +431,22 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs (rows-only)."""
+    """MinHash-LSH near-duplicate pairs (rows-only). Returns the STREAMING
+    Dataset like simhash_pairs — at 100 TB the near-dup pair set can be
+    ~corpus-sized, so it must never materialize on the driver; the
+    rounding runs inside map_batches."""
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.5, exact_verify=True)
-    out = pairs.to_pandas()
-    if len(out):
-        out["jaccard"] = out["jaccard"].round(4)
-        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return out
+
+    def round_j(batch: pa.Table) -> pa.Table:
+        j = round_sql(batch.column("jaccard").to_numpy(zero_copy_only=False), 4)
+        return batch.set_column(
+            batch.schema.get_field_index("jaccard"), "jaccard", pa.array(j)
+        )
+
+    return pairs.map_batches(round_j, batch_format="pyarrow")
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -503,8 +521,12 @@ def q_top_orders_per_nation(sf_dir: str):
 
     def attach_and_prune(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(n_sorted, nk)
-        names = n_names.take(pa.array(np.minimum(pos, len(n_sorted) - 1)))
+        pos = np.minimum(np.searchsorted(n_sorted, nk), len(n_sorted) - 1)
+        matched = n_sorted[pos] == nk  # see q_orders_by_nation
+        if not matched.all():
+            batch = batch.filter(pa.array(matched))
+            pos = pos[matched]
+        names = n_names.take(pa.array(pos))
         df = pd.DataFrame(
             {
                 "n_name": names.to_pandas(),
@@ -559,10 +581,12 @@ def q_customers_no_orders(sf_dir: str):
     )
     ordered = recent.groupby("o_custkey").aggregate(_Count(alias_name="n_ord"))
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # join parallelism scales with the cluster, not a fixed constant
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     joined = customer.join(
         ordered,
         "left_outer",
-        num_partitions=8,
+        num_partitions=max(8, 2 * cpus),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -705,8 +729,34 @@ def q_global_stats(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal actor-pool stage over extracted media spans (decode
-    stubbed deterministically; Ray plumbing real)."""
+    """Multimodal image actor-pool stage over the SQL-buildable media
+    manifest (one media row per document, ref = md5-derived). DuckDB-
+    oracled: the stub decoder's width/height are modular arithmetic on an
+    md5 seed the oracle reproduces with ``md5_number_upper``. The feature
+    vector itself (RNG pixel content) is pytest-verified; the extract-fed
+    media path is the separate ``media_from_spans`` query."""
+    from ..stages.multimodal import image_features, media_manifest_dataset
+
+    feats = image_features(media_manifest_dataset(sf_dir))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_ref": batch.column("media_ref").to_pylist(),
+                "width": np.asarray(batch.column("width"), dtype=np.int64),
+                "height": np.asarray(batch.column("height"), dtype=np.int64),
+            }
+        )
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
+def q_media_from_spans(sf_dir: str):
+    """Extract-fed multimodal path (spans → kind=='media' filter → payload
+    fetch stub → image features); rows-only — media placement in the
+    synthesized corpus is RNG-driven, so the manifest isn't SQL-buildable
+    here (that's what ``media_features`` covers)."""
     from ..stages.multimodal import media_feature_pipeline
     from .extract import extract_pipeline
 
@@ -938,24 +988,45 @@ def q_csv_export(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """Audio multimodal stage (decode stubbed, Ray plumbing real);
-    rows-only."""
-    from ..stages.multimodal import audio_feature_pipeline
-    from .extract import extract_pipeline
+    """Audio multimodal stage over the SQL-buildable manifest, DuckDB-
+    oracled: sample count (→ duration_ms) is modular arithmetic on the md5
+    seed; rms/zero-crossings (RNG PCM content) stay pytest-verified."""
+    from ..stages.multimodal import audio_features, media_manifest_dataset
 
-    out = audio_feature_pipeline(extract_pipeline(sf_dir)).to_pandas()
-    out["rms"] = out["rms"].round(4)
+    feats = audio_features(media_manifest_dataset(sf_dir))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_ref": batch.column("media_ref").to_pylist(),
+                "duration_ms": np.asarray(batch.column("duration_ms"), dtype=np.int64),
+                "sample_rate": np.asarray(batch.column("sample_rate"), dtype=np.int64),
+            }
+        )
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
 def q_video_frames(sf_dir: str):
-    """Video frame-sampling stage (flat_map shape: one row per sampled
-    frame); rows-only."""
-    from ..stages.multimodal import video_frame_pipeline
-    from .extract import extract_pipeline
+    """Video frame-sampling stage over the SQL-buildable manifest (flat_map
+    shape: one row per sampled frame), DuckDB-oracled: frame count is
+    modular arithmetic on the md5 seed; the oracle unnests a stride-5
+    generate_series per ref. Per-frame features (RNG) stay pytest-verified."""
+    from ..stages.multimodal import media_manifest_dataset, video_frames
 
-    out = video_frame_pipeline(extract_pipeline(sf_dir)).to_pandas()
-    out = out.drop(columns=["feature"])
+    frames = video_frames(media_manifest_dataset(sf_dir))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_ref": batch.column("media_ref").to_pylist(),
+                "frame_idx": np.asarray(batch.column("frame_idx"), dtype=np.int64),
+                "ts_ms": np.asarray(batch.column("ts_ms"), dtype=np.int64),
+            }
+        )
+
+    out = frames.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
 
 
@@ -1153,6 +1224,7 @@ QUERIES = {
     "paper_stats": q_paper_stats,
     "global_stats": q_global_stats,
     "media_features": q_media_features,
+    "media_from_spans": q_media_from_spans,
     "filenorm_plan": q_filenorm_plan,
     "lineage_resume": q_lineage_resume,
     "extract_windowed": q_extract_windowed,
@@ -1329,6 +1401,80 @@ ORACLE_SQL = {
             (SELECT embedding FROM embeddings WHERE vec_id = 0)
         ) DESC
         LIMIT 5
+    """,
+    "lang_id": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','was','for','on','with','as','by','that','it','from','at','this','are','be'))) AS en,
+                len(list_filter(t, x -> x IN ('el','la','los','las','de','del','y','en','es','un','una','para','con','por','que','se','al','lo','como'))) AS es,
+                len(list_filter(t, x -> x IN ('der','die','das','und','von','zu','mit','den','im','für','ist','nicht','ein','eine','auf','des'))) AS de,
+                len(list_filter(t, x -> x IN ('le','la','les','de','des','et','en','un','une','pour','avec','par','que','se','au','du','dans','est'))) AS fr
+            FROM toks
+        )
+        -- argmax with ties to earliest in priority order en > es > de > fr
+        -- (a later language only wins with STRICTLY more hits); 0 hits → und
+        SELECT doc_id,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                    WHEN es >= de AND es >= fr THEN 'es'
+                    WHEN de >= fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits
+        ORDER BY doc_id
+    """,
+    "media_features": """
+        WITH m AS (
+            SELECT 'img://' || substr(md5('media:' || doc_id::VARCHAR), 1, 12)
+                       AS media_ref
+            FROM documents
+        ), seeded AS (
+            -- payload = md5(ref)-digest × 16 → payload.hex() is
+            -- repeat(md5(ref), 16); stub seed = first 8 md5 bytes of that
+            -- hex string, little-endian = md5_number_upper
+            SELECT media_ref,
+                   md5_number_upper(repeat(md5(media_ref), 16)) AS seed
+            FROM m
+        )
+        SELECT media_ref,
+               (16 + (seed % 48))::BIGINT AS height,
+               (16 + ((seed // 256) % 48))::BIGINT AS width
+        FROM seeded
+        ORDER BY media_ref
+    """,
+    "audio_features": """
+        WITH m AS (
+            SELECT 'img://' || substr(md5('media:' || doc_id::VARCHAR), 1, 12)
+                       AS media_ref
+            FROM documents
+        ), seeded AS (
+            SELECT media_ref,
+                   md5_number_upper(repeat(md5(media_ref), 16)) AS seed
+            FROM m
+        )
+        SELECT media_ref,
+               ((4000 + (seed % 28000)) // 16)::BIGINT AS duration_ms,
+               16000::BIGINT AS sample_rate
+        FROM seeded
+        ORDER BY media_ref
+    """,
+    "video_frames": """
+        WITH m AS (
+            SELECT 'img://' || substr(md5('media:' || doc_id::VARCHAR), 1, 12)
+                       AS media_ref
+            FROM documents
+        ), seeded AS (
+            SELECT media_ref,
+                   md5_number_upper(repeat(md5(media_ref), 16)) AS seed
+            FROM m
+        )
+        SELECT media_ref, u.idx::BIGINT AS frame_idx,
+               (u.idx * 100)::BIGINT AS ts_ms
+        FROM seeded, UNNEST(generate_series(0, (10 + seed % 50)::INT - 1, 5))
+             AS u(idx)
+        ORDER BY media_ref, frame_idx
     """,
     "quality_scores": """
         WITH feats AS (

@@ -38,6 +38,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
@@ -353,20 +354,33 @@ def minhash_lsh_pairs(
         # probe per batch, instead of two Dataset.joins (each join costs
         # ~10s+ of fixed aggregator setup; measured 25s for 256 pairs).
         pdf = distinct.to_pandas()
-        cand_ids = set(pdf["doc_a"]) | set(pdf["doc_b"])
+        cand_ids = pa.array(sorted(set(pdf["doc_a"]) | set(pdf["doc_b"])))
         ids_ref = ray.put(cand_ids)
 
         def pick(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
-            mask = pa.array(
-                [d in wanted for d in batch.column("doc_id").to_pylist()]
-            )
+            # vectorized membership (pc.is_in against the broadcast value
+            # set) — no Python row loop over the whole corpus
+            mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
             return batch.filter(mask)
 
-        fdf = feats.map_batches(pick, batch_format="pyarrow").to_pandas()
+        ftbl = pa.concat_tables(
+            feats.map_batches(pick, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ),
+            promote_options="default",
+        )
+        shingle_col = (
+            ftbl.column("shingles").to_pylist()
+            if "shingles" in ftbl.column_names
+            else [None] * ftbl.num_rows
+        )
         feat_map = {
-            r["doc_id"]: (r["minhash_sig"], r.get("shingles"))
-            for _, r in fdf.iterrows()
+            d: (s, sh)
+            for d, s, sh in zip(
+                ftbl.column("doc_id").to_pylist(),
+                ftbl.column("minhash_sig").to_pylist(),
+                shingle_col,
+            )
         }
         feat_ref = ray.put(feat_map)
         return distinct.map_batches(

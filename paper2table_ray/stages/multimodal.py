@@ -44,15 +44,28 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 
+def _stub_seed(payload: bytes) -> int:
+    """Seed for the fake decoders: md5 of the payload's lowercase-hex
+    string, first 8 bytes little-endian. Chosen so a DuckDB oracle can
+    reproduce it exactly: with ``payload = md5(ref).digest() * 16`` (see
+    ``synth_media_batch``) this equals
+    ``md5_number_upper(repeat(md5(ref), 16))`` in SQL."""
+    return int.from_bytes(
+        hashlib.md5(payload.hex().encode()).digest()[:8], "little"
+    )
+
+
 class FakeImageBackend:
     """Deterministic stand-in for a real decoder: 'decodes' payload bytes
-    into a pseudo-image (hash-seeded), so shapes/dtypes downstream are
-    real."""
+    into a pseudo-image, so shapes/dtypes downstream are real. The image
+    DIMENSIONS are pure modular arithmetic on the md5 seed (SQL-replicable
+    for the DuckDB oracle); only the pixel CONTENT uses numpy RNG."""
 
     def decode(self, payload: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
-        rng = np.random.RandomState(seed)
-        h, w = rng.randint(16, 64), rng.randint(16, 64)
+        seed = _stub_seed(payload)
+        h = 16 + seed % 48
+        w = 16 + (seed // 256) % 48
+        rng = np.random.RandomState(seed % (2**32))
         return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
 
     def resize(self, img: np.ndarray, size: int) -> np.ndarray:
@@ -136,13 +149,15 @@ FRAME_FEATURES_SCHEMA = pa.schema(
 
 class FakeAudioBackend:
     """Deterministic stand-in for an audio decoder: payload bytes → a
-    pseudo-PCM float array (hash-seeded) + synthetic sample rate."""
+    pseudo-PCM float array + synthetic sample rate. The sample COUNT is
+    modular arithmetic on the md5 seed (SQL-replicable: duration_ms =
+    (sr/4 + seed % (7*sr/4)) // 16 for sr=16000); PCM content uses RNG."""
 
     def decode(self, payload: bytes):
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
-        rng = np.random.RandomState(seed)
+        seed = _stub_seed(payload)
         sample_rate = 16000
-        n = rng.randint(sample_rate // 4, sample_rate * 2)
+        n = sample_rate // 4 + seed % (sample_rate * 2 - sample_rate // 4)
+        rng = np.random.RandomState(seed % (2**32))
         return rng.standard_normal(n).astype(np.float32), sample_rate
 
 
@@ -186,9 +201,12 @@ class VideoFrameSampler:
         self.image = ImageFeatureExtractor(target_size=target_size, backend=backend)
 
     def frames(self, payload: bytes):
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
-        rng = np.random.RandomState(seed)
-        n_frames = rng.randint(10, 60)
+        # frame COUNT is modular arithmetic on the md5 seed (SQL-replicable:
+        # n_frames = 10 + seed % 50, sampled indices = series(0, n-1, stride),
+        # ts_ms = idx * 100 at 10 fps); frame pixel content uses RNG.
+        seed = _stub_seed(payload)
+        n_frames = 10 + seed % 50
+        rng = np.random.RandomState(seed % (2**32))
         fps = 10
         for i in range(0, n_frames, self.stride):
             yield i, int(i * 1000 / fps), rng.randint(
@@ -219,11 +237,10 @@ class VideoFrameSampler:
 def synth_media_batch(batch: pa.Table) -> pa.Table:
     """Build MEDIA_SCHEMA rows from extracted media spans (payload =
     deterministic pseudo-bytes derived from media_ref; stands in for a
-    blob-store fetch)."""
+    blob-store fetch). ``payload = md5(ref) * 16`` so the stub decoders'
+    seed is reproducible in SQL (see ``_stub_seed``)."""
     refs = [r for r in batch.column("media_ref").to_pylist() if r]
-    payloads = [
-        hashlib.blake2b(r.encode(), digest_size=32).digest() * 8 for r in refs
-    ]
+    payloads = [hashlib.md5(r.encode()).digest() * 16 for r in refs]
     n = len(refs)
     return pa.Table.from_arrays(
         [
@@ -239,17 +256,44 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def media_feature_pipeline(spans, target_size: int = 32, concurrency=(1, 4)):
-    """media spans → MEDIA_SCHEMA → actor-pool feature extraction.
-    Small batches: payload-heavy rows (see module docstring)."""
+def media_rows_from_spans(spans):
+    """Extracted spans → MEDIA_SCHEMA rows (filter kind == 'media',
+    payload fetch stubbed by ``synth_media_batch``)."""
     import pyarrow.compute as pc
 
-    media_rows = spans.map_batches(
+    return spans.map_batches(
         lambda b: synth_media_batch(
             b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
         ),
         batch_format="pyarrow",
     )
+
+
+def media_manifest_dataset(sf_dir: str):
+    """SQL-buildable media manifest: one media row per document, with
+    ``media_ref = 'img://' + md5('media:' + doc_id)[:12]`` — the DuckDB
+    oracle rebuilds the identical ref set from the documents table, so the
+    multimodal stages can be hash-verified end to end (the extract-fed
+    path stays covered by ``media_rows_from_spans``)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        refs = [
+            "img://" + hashlib.md5(f"media:{i}".encode()).hexdigest()[:12]
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table({"media_ref": pa.array(refs, pa.string())})
+
+    return docs.map_batches(to_refs, batch_format="pyarrow").map_batches(
+        synth_media_batch, batch_format="pyarrow"
+    )
+
+
+def image_features(media_rows, target_size: int = 32, concurrency=(1, 4)):
+    """MEDIA_SCHEMA rows → image features (actor pool; small batches —
+    payload-heavy rows, see module docstring)."""
     return media_rows.map_batches(
         ImageFeatureExtractor,
         fn_constructor_kwargs={"target_size": target_size},
@@ -259,16 +303,8 @@ def media_feature_pipeline(spans, target_size: int = 32, concurrency=(1, 4)):
     )
 
 
-def audio_feature_pipeline(spans, concurrency=(1, 4)):
-    """media spans → audio features (duration/RMS/zero-crossings)."""
-    import pyarrow.compute as pc
-
-    media_rows = spans.map_batches(
-        lambda b: synth_media_batch(
-            b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
-        ),
-        batch_format="pyarrow",
-    )
+def audio_features(media_rows, concurrency=(1, 4)):
+    """MEDIA_SCHEMA rows → audio features (duration/RMS/zero-crossings)."""
     return media_rows.map_batches(
         AudioFeatureExtractor,
         batch_format="pyarrow",
@@ -277,21 +313,32 @@ def audio_feature_pipeline(spans, concurrency=(1, 4)):
     )
 
 
-def video_frame_pipeline(spans, stride: int = 5, concurrency=(1, 4)):
-    """media spans → per-sampled-frame features (flat_map shape: one
-    output row per frame)."""
-    import pyarrow.compute as pc
-
-    media_rows = spans.map_batches(
-        lambda b: synth_media_batch(
-            b.filter(pc.equal(b.column("kind"), pa.scalar("media")))
-        ),
-        batch_format="pyarrow",
-    )
+def video_frames(media_rows, stride: int = 5, concurrency=(1, 4)):
+    """MEDIA_SCHEMA rows → per-sampled-frame features (flat_map shape:
+    one output row per frame)."""
     return media_rows.map_batches(
         VideoFrameSampler,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=8,
         concurrency=concurrency,
+    )
+
+
+def media_feature_pipeline(spans, target_size: int = 32, concurrency=(1, 4)):
+    """media spans → MEDIA_SCHEMA → actor-pool feature extraction."""
+    return image_features(
+        media_rows_from_spans(spans), target_size=target_size, concurrency=concurrency
+    )
+
+
+def audio_feature_pipeline(spans, concurrency=(1, 4)):
+    """media spans → audio features."""
+    return audio_features(media_rows_from_spans(spans), concurrency=concurrency)
+
+
+def video_frame_pipeline(spans, stride: int = 5, concurrency=(1, 4)):
+    """media spans → per-sampled-frame features."""
+    return video_frames(
+        media_rows_from_spans(spans), stride=stride, concurrency=concurrency
     )
