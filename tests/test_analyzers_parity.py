@@ -601,3 +601,119 @@ def test_column_value_semantic_renames_semantic_via_schema_ngram_variant():
         "ident_misc": "identifier",
         "loc_misc": "station",
     }
+
+
+# --- remaining spaCy-integration ports (round 3) -----------------------------
+# Spanish color/animal cases (test_analyzers.py:346-416, 418-516) as
+# shape-preserving n-gram variants with accented Spanish inputs — the
+# non-ASCII fold path is the part that differs from the English variants.
+
+COLOR_ANIMAL_SCHEMA_ES = ColumnSchema(
+    {"color": str, "animal": str, "identificador": str}
+)
+
+
+def test_semantic_maps_color_and_animal_columns_in_spanish_ngram_variant():
+    # ref test_analyzers.py:346-416: numeric columns whose (Spanish,
+    # accented) values are close to the ES schema names map; the code
+    # column does not.
+    left = wrap(
+        [
+            R(**{"0": "color carmesí", "1": "animal águila", "2": "REF001"}),
+            R(**{"0": "color añil", "1": "animal cigüeña", "2": "REF002"}),
+        ]
+    )
+    result = ColumnNameSemanticLoadTimeAnalyzer(
+        threshold=0.3, schema=COLOR_ANIMAL_SCHEMA_ES
+    ).build_mapping(cols(left), left["rows"])
+    assert result == {"0": "color", "1": "animal"}
+
+
+def test_semantic_does_not_map_below_threshold_in_spanish_ngram_variant():
+    # ref test_analyzers.py:418-516: same ES schema, values far from
+    # every schema name at a high threshold → no mapping.
+    left = wrap(
+        [
+            R(**{"0": "zumaque pálido", "1": "ñandú veloz"}),
+            R(**{"0": "berenjena fría", "1": "ornitorrinco"}),
+        ]
+    )
+    result = ColumnNameSemanticLoadTimeAnalyzer(
+        threshold=0.9, schema=COLOR_ANIMAL_SCHEMA_ES
+    ).build_mapping(cols(left), left["rows"])
+    assert result == {}
+
+
+# Chain case (test_analyzers.py:551-585): direct port — the semantic
+# comparisons here are over identical column-name tokens, which the
+# n-gram vectorizer scores exactly like word vectors do.
+
+SPECIES_SCHEMA = ColumnSchema(
+    {"scientific_name": str, "area": str, "family": str, "vernacular_name": str}
+)
+
+SPECIES20 = [
+    ("Ammi majus L.", "45.2", "Apiaceae", "Greater ammi"),
+    ("Rosa canina L.", "12.8", "Rosaceae", "Dog rose"),
+    ("Mentha spicata L.", "67.3", "Lamiaceae", "Spearmint"),
+    ("Betula pendula Roth", "89.1", "Betulaceae", "Silver birch"),
+    ("Quercus robur L.", "23.4", "Fagaceae", "English oak"),
+    ("Taraxacum officinale F.H.Wigg.", "56.7", "Asteraceae", "Dandelion"),
+    ("Urtica dioica L.", "34.9", "Urticaceae", "Stinging nettle"),
+    ("Sambucus nigra L.", "78.2", "Adoxaceae", "Black elder"),
+    ("Hypericum perforatum L.", "41.5", "Hypericaceae", "St John's wort"),
+    ("Achillea millefolium L.", "93.6", "Asteraceae", "Yarrow"),
+    ("Plantago lanceolata L.", "17.3", "Plantaginaceae", "Ribwort plantain"),
+    ("Matricaria chamomilla L.", "52.8", "Asteraceae", "German chamomile"),
+    ("Lavandula angustifolia Mill.", "61.4", "Lamiaceae", "Lavender"),
+    ("Rosmarinus officinalis L.", "38.7", "Lamiaceae", "Rosemary"),
+    ("Thymus vulgaris L.", "25.1", "Lamiaceae", "Common thyme"),
+    ("Origanum vulgare L.", "72.9", "Lamiaceae", "Oregano"),
+    ("Salvia officinalis L.", "44.6", "Lamiaceae", "Common sage"),
+    ("Foeniculum vulgare Mill.", "83.2", "Apiaceae", "Fennel"),
+    ("Melissa officinalis L.", "19.5", "Lamiaceae", "Lemon balm"),
+    ("Echinacea purpurea (L.) Moench", "67.8", "Asteraceae", "Purple coneflower"),
+]
+
+SPECIES20_WITH_EDITS = [
+    ("Ammi majus", "45.2", "Apiaceae", "Greater ammi spp."),
+    ("Rosa canina, L.", "12.8", "Rosaceae", "Dog-rose"),
+    ("Mentha spicata", "67.3", "Lamiaceae", "Spearmint herb"),
+    ("Betula pendula Rot", "89.1", "Betulaceae", "Silver-birch"),
+    ("Quercus robur", "23.4", "Fagaceae", "Eng. oak"),
+    ("T. officinale F.H.Wigg.", "56.7", "Asteraceae", "Dandelyon"),
+    *SPECIES20[6:],
+]
+
+
+def test_semantic_chain_species_edits_preserves_jaccard_mappings():
+    # ref test_analyzers.py:551-585
+    left = wrap(
+        [
+            R(scientific_name=sn, area=a, family=f, vernacular_name=vn)
+            for sn, a, f, vn in SPECIES20
+        ]
+    )
+    right = wrap(
+        [
+            R(**{"0": sn, "1": a, "2": f, "3": vn})
+            for sn, a, f, vn in SPECIES20_WITH_EDITS
+        ]
+    )
+    jaccard_mapping = MergeTimeColumnAligner(
+        right, left, analyzers=[JaccardMergeTimeAnalyzer(threshold=0.6)]
+    ).mapping
+    assert jaccard_mapping == {"1": "area", "2": "family"}
+
+    load_aligner = LoadTimeColumnAligner(
+        left,
+        analyzers=[
+            ColumnNameSemanticLoadTimeAnalyzer(threshold=0.1, schema=SPECIES_SCHEMA)
+        ],
+    )
+    renamed_left = wrap([load_aligner.rename_row(r) for r in left["rows"]])
+    chain_mapping = MergeTimeColumnAligner(
+        right, renamed_left, analyzers=[JaccardMergeTimeAnalyzer(threshold=0.6)]
+    ).mapping
+    assert chain_mapping["1"] == "area"
+    assert chain_mapping["2"] == "family"

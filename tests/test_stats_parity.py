@@ -475,3 +475,125 @@ def test_count_shared_values_across_fragments():
         ]
     )
     assert _count_shared_values(paper["tables"]) == (2, 2)
+
+
+def test_count_shared_values_independent_per_table():
+    # ref test_stats.py:522-543
+    paper = make_paper(
+        [
+            {
+                "page": 1,
+                "rows": [
+                    {"family": "Apiaceae", "row_": 1},
+                    {"family": "Apiaceae", "row_": 1},
+                ],
+            },
+            {
+                "page": 2,
+                "rows": [
+                    {"family": "Rosaceae", "row_": 1},
+                    {"family": "Asteraceae", "row_": 1},
+                ],
+            },
+        ]
+    )
+    assert _count_shared_values(paper["tables"]) == (4, 2)
+
+
+# --- shared-values percentage (test_stats.py:546-676) ------------------------
+
+
+def test_shared_values_percentage_in_paper_stats():
+    # ref test_stats.py:546-565
+    stats = compute_paper_stats(
+        make_paper(
+            [
+                {
+                    "page": 1,
+                    "rows": [
+                        {"family": "v 1", "row_": 1},
+                        {"family": "v 2", "row_": 1},
+                        {"family": "v 3", "row_": 2},
+                        {"family": "v 3", "row_": 2},
+                    ],
+                }
+            ]
+        )
+    )
+    assert stats["rows_in_shared_groups"] == 4
+    assert stats["rows_with_shared_values"] == 2
+    assert stats["shared_values_percentage"] == pytest.approx(50.0)
+
+
+def test_shared_values_percentage_none_when_no_shared_groups():
+    # ref test_stats.py:567-582
+    stats = compute_paper_stats(
+        make_paper(
+            [
+                {
+                    "page": 1,
+                    "rows": [
+                        {"family": "Apiaceae", "row_": 1},
+                        {"family": "Rosaceae", "row_": 2},
+                    ],
+                }
+            ]
+        )
+    )
+    assert stats["rows_in_shared_groups"] == 0
+    assert stats["shared_values_percentage"] is None
+
+
+def test_global_shared_values_percentage_accumulates():
+    # ref test_stats.py:585-623
+    paper_a = make_paper(
+        [
+            {
+                "page": 1,
+                "rows": [
+                    {"family": "v 1", "row_": 1},
+                    {"family": "v 2", "row_": 1},
+                ],
+            }
+        ]
+    )
+    paper_b = make_paper(
+        [
+            {
+                "page": 1,
+                "rows": [
+                    {"family": "v 3", "row_": 1},
+                    {"family": "v 3", "row_": 1},
+                ],
+            }
+        ]
+    )
+    out = accumulate_global(
+        [compute_paper_stats(paper_a), compute_paper_stats(paper_b)]
+    )
+    assert out["rows_in_shared_groups"] == 4
+    assert out["rows_with_shared_values"] == 2
+    assert out["global_shared_values_percentage"] == pytest.approx(50.0)
+
+
+def test_global_shared_values_percentage_none_when_no_groups():
+    # ref test_stats.py:626-640
+    paper = make_paper(
+        [{"page": 1, "rows": [{"family": "Apiaceae", "row_": 1}]}]
+    )
+    out = accumulate_global([compute_paper_stats(paper)])
+    assert out["global_shared_values_percentage"] is None
+
+
+def test_format_stats_shows_global_shared_values_percentage():
+    # ref test_stats.py:643-656
+    s = dict(_EMPTY_GLOBAL, rows=4, rows_in_shared_groups=4,
+             rows_with_shared_values=2, global_shared_values_percentage=50.0)
+    assert "Global shared values percentage: 50.00%" in format_stats(s)
+
+
+def test_format_stats_omits_global_shared_values_percentage_when_none():
+    # ref test_stats.py:659-676
+    assert "Global shared values percentage" not in format_stats(
+        dict(_EMPTY_GLOBAL)
+    )

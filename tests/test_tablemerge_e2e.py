@@ -158,3 +158,97 @@ class TestPaperAliases:
             [dir_a], out_dir, MergeSettings(), paper="foo.tables.json"
         )
         assert summary["doc_id"].tolist() == ["foo"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOutputGuards:
+    """Ports of the reference's merge_tablesfiles_paths output-guard
+    cases (tests/test_merge.py:2029-2140): write-when-missing, skip-
+    when-curated, force-update override, overwrite-when-uncurated."""
+
+    def _write_source(self, tmp_path, rows):
+        src = tmp_path / "source"
+        src.mkdir(exist_ok=True)
+        tf = {
+            "tables": [{"table_fragments": [{"rows": rows, "page": 1}]}],
+            "citation": "",
+        }
+        (src / "paper.tables.json").write_text(json.dumps(tf))
+        return str(src)
+
+    def _merged_rows(self, out_file):
+        obj = json.loads(out_file.read_text())
+        rows = obj["tables"][0]["rows"]
+        for r in rows:
+            r.pop("sources_", None)
+        return rows
+
+    def _out_file(self, tmp_path, src):
+        return tmp_path / "output" / merged_uuid_for([src]) / "paper.tables.json"
+
+    EXPECT = [{"family": "apiaceae", "agreement_level_": 1, "row_": 0}]
+
+    def test_merge_writes_output_when_file_does_not_exist(self, tmp_path):
+        # ref test_merge.py:2029-2043
+        src = self._write_source(tmp_path, [{"family": "Apiaceae"}])
+        run_tablemerge([src], str(tmp_path / "output"))
+        out_file = self._out_file(tmp_path, src)
+        assert out_file.exists()
+        assert self._merged_rows(out_file) == self.EXPECT
+
+    def _sentinel(self, curations):
+        return json.dumps(
+            {
+                "tables": [],
+                "citation": "sentinel",
+                "metadata": {"filename": None, "curations": curations},
+            }
+        )
+
+    def test_merge_skips_when_output_exists_with_curations(self, tmp_path):
+        # ref test_merge.py:2045-2064
+        src = self._write_source(tmp_path, [{"family": "Apiaceae"}])
+        out_file = self._out_file(tmp_path, src)
+        out_file.parent.mkdir(parents=True)
+        sentinel = self._sentinel([{"curator": "alice"}])
+        out_file.write_text(sentinel)
+        summary = run_tablemerge([src], str(tmp_path / "output"), force_update=False)
+        assert out_file.read_text() == sentinel
+        assert list(summary["status"]) == ["skipped-curated"]
+
+    def test_merge_overwrites_when_force_update_and_output_has_curations(
+        self, tmp_path
+    ):
+        # ref test_merge.py:2067-2090
+        src = self._write_source(tmp_path, [{"family": "Apiaceae"}])
+        out_file = self._out_file(tmp_path, src)
+        out_file.parent.mkdir(parents=True)
+        out_file.write_text(self._sentinel([{"curator": "alice"}]))
+        run_tablemerge([src], str(tmp_path / "output"), force_update=True)
+        assert self._merged_rows(out_file) == self.EXPECT
+
+    def test_merge_overwrites_when_output_exists_with_no_curations(self, tmp_path):
+        # ref test_merge.py:2093-2110
+        src = self._write_source(tmp_path, [{"family": "Apiaceae"}])
+        out_file = self._out_file(tmp_path, src)
+        out_file.parent.mkdir(parents=True)
+        out_file.write_text(json.dumps({"tables": [], "citation": "old content"}))
+        run_tablemerge([src], str(tmp_path / "output"), force_update=False)
+        assert self._merged_rows(out_file) == self.EXPECT
+
+    def test_merge_overwrites_when_output_exists_with_empty_curations(self, tmp_path):
+        # ref test_merge.py:2113-2140
+        src = self._write_source(tmp_path, [{"family": "Apiaceae"}])
+        out_file = self._out_file(tmp_path, src)
+        out_file.parent.mkdir(parents=True)
+        out_file.write_text(
+            json.dumps(
+                {
+                    "tables": [],
+                    "citation": "old content",
+                    "metadata": {"filename": None, "curations": []},
+                }
+            )
+        )
+        run_tablemerge([src], str(tmp_path / "output"), force_update=False)
+        assert self._merged_rows(out_file) == self.EXPECT

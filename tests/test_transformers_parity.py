@@ -312,3 +312,37 @@ def test_normalize_punctuation_preserves_row_special_fields():
     assert got == make_fragment(
         R(species="Homo sapiens", _level=3, _sources=["s1"], _row=5)
     )
+
+
+# --- reverser integration cases over the built-in deterministic vocab
+# (test_fragment_transformer.py:127-146; real-spaCy-vocab cases ported
+# onto the NgramVectorizer KNOWN_WORDS stand-in, no injection) ----------------
+
+
+def test_fragment_values_reverser_corrects_fully_reversed_fragment():
+    # ref test_fragment_transformer.py:127-134
+    reverser = FragmentValuesReverser("en")
+    fragment = make_fragment(
+        R(common_name="drow gnol yrev"), R(area="htuos htron")
+    )
+    assert reverser.transform_fragment(fragment) == make_fragment(
+        R(common_name="very long word"), R(area="north south")
+    )
+
+
+def test_fragment_values_reverser_keeps_natural_fragment():
+    # ref test_fragment_transformer.py:136-140
+    reverser = FragmentValuesReverser("en")
+    fragment = make_fragment(
+        R(common_name="very long word"), R(area="north south")
+    )
+    assert reverser.transform_fragment(fragment) == fragment
+
+
+def test_fragment_values_reverser_keeps_fragment_with_unknown_terms():
+    # ref test_fragment_transformer.py:143-146
+    reverser = FragmentValuesReverser("en")
+    fragment = make_fragment(
+        R(col_a="xkzqpwb vnrmt"), R(col_b="qptnmrv bwpqzkx")
+    )
+    assert reverser.transform_fragment(fragment) == fragment
