@@ -153,17 +153,36 @@ class SpanExtractor:
             if table_run:
                 tm = None
                 skip = False
+                is_first = table_no[0] == 0
                 if norm is not None:
                     if norm["apply_to_all"]:
                         tm = norm["tables"][0]
+                    elif norm["tables"] and norm["tables"][0].get("first_page"):
+                        # reference page-window semantics
+                        # (document.py:77-123): only the FIRST table
+                        # mapping is read (the trailing ``break`` at
+                        # document.py:121), applied to the 1-based page
+                        # window [first_page, last_page]; pages outside
+                        # the window — including windows entirely past
+                        # the document's end (the IndexError
+                        # warn-and-abort, document.py:85-90) — yield no
+                        # tables. Here a "page" is a table run.
+                        tm = norm["tables"][0]
+                        run_no = table_no[0] + 1
+                        first = tm["first_page"]
+                        last = tm.get("last_page") or first
+                        if not (first <= run_no <= last):
+                            skip = True
+                        is_first = run_no == first
                     elif table_no[0] < len(norm["tables"]):
+                        # windowless multi-table form: run i → tables[i]
                         tm = norm["tables"][table_no[0]]
                     else:
                         # reference mapped path reads ONLY mapped tables
                         # (document.py:80-123): unmapped runs are skipped
                         skip = True
                 if not skip:
-                    out.extend(self._extract_table(table_run, tm, table_no[0]))
+                    out.extend(self._extract_table(table_run, tm, is_first))
                 table_no[0] += 1
                 table_run.clear()
 
@@ -200,12 +219,20 @@ class SpanExtractor:
         ],
     }
 
-    def _parse_grids(self, raw_rows: List[str]) -> List[List[str]]:
+    def _parse_grids(
+        self, raw_rows: List[str], min_width: Optional[int] = None
+    ) -> Optional[List[List[str]]]:
         """Candidate sweep (document.py:92-119): first strategy that
         parses AND finds ≥2 columns wins; a raising strategy is skipped;
         if every strategy parses single-column, the first parse is
         accepted (legitimate one-column table); if every strategy raises,
-        the last error propagates (→ doc-level quarantine)."""
+        the last error propagates (→ doc-level quarantine).
+
+        ``min_width`` (mapped path): a candidate must also cover the
+        highest mapped column ordinal — the reference's ordinal-select
+        raises KeyError inside the same candidate loop (document.py:
+        94-119 + 174-177); when NO candidate covers it the page yields
+        no table (warn-and-skip) → ``None`` here, never an exception."""
         last_error: Optional[Exception] = None
         fallback: Optional[List[List[str]]] = None
         for name in self.config.strategies:
@@ -215,10 +242,17 @@ class SpanExtractor:
             except Exception as exc:
                 last_error = exc
                 continue
-            if max(len(g) for g in grids) >= 2:
+            width = max(len(g) for g in grids)
+            if min_width is not None:
+                if width >= min_width:
+                    return grids
+                continue
+            if width >= 2:
                 return grids
             if fallback is None:
                 fallback = grids
+        if min_width is not None:
+            return None
         if fallback is not None:
             return fallback
         assert last_error is not None
@@ -228,9 +262,19 @@ class SpanExtractor:
         self,
         raw_rows: List[str],
         mapping: Optional[dict] = None,
-        table_no: int = 0,
+        is_first: bool = True,
     ) -> List[Tuple[str, str, str]]:
-        grids = self._parse_grids(raw_rows)
+        if mapping:
+            cm = {int(k): v for k, v in mapping.get("column_mappings", {}).items()}
+            ordinals = sorted(cm)
+            min_width = ordinals[-1] + 1 if ordinals else None
+            grids = self._parse_grids(raw_rows, min_width=min_width)
+            if grids is None:
+                # no candidate covers the highest mapped ordinal → the
+                # run yields no table (reference warn-and-skip)
+                return []
+        else:
+            grids = self._parse_grids(raw_rows)
         width = max(len(g) for g in grids)
         grids = [g + [""] * (width - len(g)) for g in grids]
 
@@ -241,11 +285,9 @@ class SpanExtractor:
             body = grids
             if body and (
                 header_mode == "all_pages"
-                or (header_mode == "first_page_only" and table_no == 0)
+                or (header_mode == "first_page_only" and is_first)
             ):
                 body = body[1:]
-            cm = {int(k): v for k, v in mapping.get("column_mappings", {}).items()}
-            ordinals = sorted(cm)
             columns = [normalize_column_name(cm[o]) for o in ordinals]
             body = [
                 [row[o] if o < len(row) else "" for o in ordinals] for row in body

@@ -81,6 +81,13 @@ def normalize_tables_mapping(obj: dict) -> dict:
                 {
                     "header_mode": t.get("header_mode", "all_pages"),
                     "column_mappings": mappings,
+                    # reference TableMapping page window (mapping.py:27-35,
+                    # 1-based, required there; None marks the windowless
+                    # compact form). In the interleaved-span model a
+                    # document "page" is a table RUN, numbered 1..n in
+                    # offset order.
+                    "first_page": t.get("first_page"),
+                    "last_page": t.get("last_page"),
                 }
             )
         return {"tables": tables, "apply_to_all": False}

@@ -262,3 +262,159 @@ class TestReferenceMappingFormat:
         )
         # compact single mapping keeps the apply-to-every-run behavior
         assert (out["kind"] == "table").sum() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMappedReaderEdgeCases:
+    """Ports of the reference reader's mapped edge cases
+    (tests/test_pdfplumber.py:155-401 / test_pymupdf.py:149-391) onto
+    ``extract_spans_mapped`` — document "page" ↔ interleaved table run,
+    1-based, per the window semantics in stages/extract.py flush_table."""
+
+    def _ref_mapping(self, first_page, last_page, header_mode="all_pages",
+                     columns=None):
+        cms = [
+            {"from_column_number": o, "to_column_name": n}
+            for o, n in (columns or [(0, "vernacular_name"), (1, "scientific_name")])
+        ]
+        return {
+            "tables": [
+                {
+                    "title": "Plants",
+                    "header_mode": header_mode,
+                    "first_page": first_page,
+                    "last_page": last_page,
+                    "column_mappings": cms,
+                }
+            ],
+            "citation": "A citation",
+        }
+
+    def _doc_runs(self, n_runs=1, doc_id="docp"):
+        rows = []
+        for run in range(n_runs):
+            rows.append(
+                ("table_row", CELL_SEP.join(["common_name", "scientific_name"]), "")
+            )
+            rows.append(
+                ("table_row", CELL_SEP.join([f"Rose{run}", f"Rosa r{run}"]), "")
+            )
+            rows.append(("text", f"interlude {run} " + "z" * 30, ""))
+        return ray.data.from_arrow(_doc(doc_id, rows))
+
+    def test_mapping_that_matches_page(self):
+        # ref test_pdfplumber.py:155-228: window [1,1] over a 1-run doc →
+        # header dropped (all_pages), cells selected + renamed
+        out = _spans_df(
+            extract_spans_mapped(self._doc_runs(1), {"docp": self._ref_mapping(1, 1)})
+        )
+        assert out[out["kind"] == "table"]["text"].tolist() == [
+            CELL_SEP.join(["vernacular_name", "scientific_name"])
+        ]
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            CELL_SEP.join(["Rose0", "Rosa r0"])
+        ]
+
+    def test_mapping_without_headers_keeps_header_row(self):
+        # ref test_pdfplumber.py:230-307: header_mode "none" → the header
+        # row is mapped through as the first data row
+        out = _spans_df(
+            extract_spans_mapped(
+                self._doc_runs(1),
+                {"docp": self._ref_mapping(1, 1, header_mode="none")},
+            )
+        )
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            CELL_SEP.join(["common_name", "scientific_name"]),
+            CELL_SEP.join(["Rose0", "Rosa r0"]),
+        ]
+
+    def test_mapping_that_doesnt_match_page(self):
+        # ref test_pdfplumber.py:309-335: window [2,2] over a 1-run doc →
+        # zero tables
+        out = _spans_df(
+            extract_spans_mapped(self._doc_runs(1), {"docp": self._ref_mapping(2, 2)})
+        )
+        assert (out["kind"] == "table").sum() == 0
+        assert (out["kind"] == "row").sum() == 0
+
+    def test_mapping_page_window_beyond_doc_end(self):
+        # ref test_pdfplumber.py:378-401: window [11,11], doc has 1 run →
+        # zero tables, and NOT a quarantine error
+        out = _spans_df(
+            extract_spans_mapped(
+                self._doc_runs(1), {"docp": self._ref_mapping(11, 11)}
+            )
+        )
+        assert (out["kind"] == "table").sum() == 0
+        assert (out["kind"] == "error").sum() == 0
+
+    def test_mapping_window_spans_multiple_runs(self):
+        # window [1,2] over a 3-run doc: the FIRST mapping applies to
+        # runs 1 and 2 (one fragment per page, document.py:83-105); run 3
+        # is outside the window and skipped
+        out = _spans_df(
+            extract_spans_mapped(self._doc_runs(3), {"docp": self._ref_mapping(1, 2)})
+        )
+        assert (out["kind"] == "table").sum() == 2
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            CELL_SEP.join(["Rose0", "Rosa r0"]),
+            CELL_SEP.join(["Rose1", "Rosa r1"]),
+        ]
+
+    def test_mapping_window_truncated_at_doc_end(self):
+        # window [1,5] over a 2-run doc: reference reads pages 1..2 then
+        # aborts at the IndexError (document.py:85-90) — both valid runs
+        # are extracted
+        out = _spans_df(
+            extract_spans_mapped(self._doc_runs(2), {"docp": self._ref_mapping(1, 5)})
+        )
+        assert (out["kind"] == "table").sum() == 2
+
+    def test_header_mode_first_page_only_drops_header_on_first_window_run(self):
+        # header dropped on run first_page only; later runs keep row 0
+        out = _spans_df(
+            extract_spans_mapped(
+                self._doc_runs(2),
+                {"docp": self._ref_mapping(1, 2, header_mode="first_page_only")},
+            )
+        )
+        rows = out[out["kind"] == "row"]["text"].tolist()
+        assert rows == [
+            CELL_SEP.join(["Rose0", "Rosa r0"]),
+            CELL_SEP.join(["common_name", "scientific_name"]),
+            CELL_SEP.join(["Rose1", "Rosa r1"]),
+        ]
+
+    def test_out_of_range_column_ordinal_skips_table(self):
+        # ref KeyError path (document.py:94-119 + 174-177): ordinal 5 on
+        # a 2-column table → no candidate covers it → run yields no
+        # table, no quarantine error
+        out = _spans_df(
+            extract_spans_mapped(
+                self._doc_runs(1),
+                {"docp": self._ref_mapping(1, 1, columns=[(5, "nope")])},
+            )
+        )
+        assert (out["kind"] == "table").sum() == 0
+        assert (out["kind"] == "error").sum() == 0
+
+    def test_out_of_range_for_tab_recovered_by_pipe_strategy(self):
+        # candidate sweep: the tab parse is 1 column wide, but the pipe
+        # parse covers ordinal 1 → the later candidate wins (reference
+        # candidate iteration, document.py:94-105)
+        rows = [
+            ("table_row", "| a | b |", ""),
+            ("table_row", "| 1 | 2 |", ""),
+        ]
+        docs = ray.data.from_arrow(_doc("docq", rows))
+        out = _spans_df(
+            extract_spans_mapped(
+                docs,
+                {"docq": self._ref_mapping(1, 1, columns=[(1, "second")])},
+            )
+        )
+        assert out[out["kind"] == "table"]["text"].tolist() == [
+            CELL_SEP.join(["second"])
+        ]
+        assert out[out["kind"] == "row"]["text"].tolist() == ["2"]
