@@ -825,11 +825,11 @@ def q_lineage_resume(sf_dir: str):
     runs the flagship extraction into a fresh scratch dir, returns the
     lineage manifest (minus wall-clock)."""
     import shutil
-    import tempfile
 
     from ..state.lineage import resumable_extract
+    from ..state.scratch import scratch_dir
 
-    out_dir = tempfile.mkdtemp(prefix="p2t_lineage_", dir="/tmp")
+    out_dir = scratch_dir("p2t_lineage_")
     try:
         summary = resumable_extract(sf_dir, out_dir, num_partitions=16)
         summary = summary.drop(columns=["wall_ms"])
@@ -916,9 +916,9 @@ def q_csv_roundtrip(sf_dir: str):
     through the actual files on disk."""
     import os
     import shutil
-    import tempfile
 
     from ..schema import rows_to_table
+    from ..state.scratch import scratch_dir
     from .export import write_csvs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
@@ -948,7 +948,7 @@ def q_csv_roundtrip(sf_dir: str):
         return rows_to_table(recs)
 
     cells = ds.map_batches(to_cells, batch_format="pyarrow")
-    out_dir = tempfile.mkdtemp(prefix="p2t_csv_", dir="/tmp")
+    out_dir = scratch_dir("p2t_csv_")
     try:
         paths = write_csvs(cells, out_dir)
         frames = []

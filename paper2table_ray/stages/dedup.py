@@ -250,7 +250,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 256,
     broadcast_pair_limit: int = 2_000_000,
     persist_threshold: int = 2_000_000,
-    sig_spill_dir: str = "/tmp",
+    sig_spill_dir: Optional[str] = None,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) → near-duplicate pairs
     (doc_a, doc_b, jaccard), distinct, doc_a < doc_b.
@@ -283,9 +283,11 @@ def minhash_lsh_pairs(
     n_docs = docs.count()
     persist_dir = None
     if n_docs > persist_threshold:
-        import tempfile
+        # multi-node: this directory is read back by tasks on OTHER
+        # nodes — it must resolve to shared storage (state/scratch.py)
+        from ..state.scratch import scratch_dir
 
-        persist_dir = tempfile.mkdtemp(prefix="p2t_minhash_sigs_", dir=sig_spill_dir)
+        persist_dir = scratch_dir("p2t_minhash_sigs_", sig_spill_dir)
         feats.write_parquet(persist_dir)
         feats = ray.data.read_parquet(persist_dir)
     else:

@@ -121,3 +121,39 @@ class TestMapPartitions:
             )
 
         pd.testing.assert_frame_equal(norm(bucketed), norm(shuffled))
+
+
+class TestScratchContract:
+    """state/scratch.py: every spill/cache path resolves through ONE
+    config point so a real cluster can redirect it to shared storage."""
+
+    def test_env_var_redirects_scratch(self, tmp_path, monkeypatch):
+        from paper2table_ray.state import scratch
+
+        monkeypatch.setenv(scratch.ENV_VAR, str(tmp_path / "shared"))
+        root = scratch.scratch_root()
+        assert root == str(tmp_path / "shared")
+        assert os.path.isdir(root)
+        d = scratch.scratch_dir("unit_")
+        assert d.startswith(root)
+
+    def test_explicit_beats_env(self, tmp_path, monkeypatch):
+        from paper2table_ray.state import scratch
+
+        monkeypatch.setenv(scratch.ENV_VAR, str(tmp_path / "env"))
+        assert scratch.scratch_root(str(tmp_path / "arg")) == str(tmp_path / "arg")
+
+    def test_no_hardcoded_tmp_on_scale_paths(self):
+        # the spill sites must route through state/scratch.py, not "/tmp"
+        import glob
+
+        import paper2table_ray
+
+        pkg = os.path.dirname(paper2table_ray.__file__)
+        offenders = []
+        for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+            src = open(path, encoding="utf-8").read()
+            for i, line in enumerate(src.splitlines(), 1):
+                if '"/tmp' in line or "'/tmp" in line:
+                    offenders.append(f"{path}:{i}")
+        assert offenders == []
