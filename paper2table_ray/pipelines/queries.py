@@ -17,6 +17,8 @@ Ray is initialised by the driver before these run; nothing here may call
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -838,6 +840,46 @@ def q_lineage_resume(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_merge_resume(sf_dir: str):
+    """Shuffle-free resumable merge over the bucketed cells store
+    (state/lineage.resumable_merge): builds a small lineage-bucketed
+    store from synthesized resultsets, merges it twice — the second run
+    must skip every completed partition — and returns the two runs'
+    per-partition statuses side by side. Rows-only (filesystem lineage
+    isn't SQL-shaped)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..sources.resultsets import synth_resultsets_batch
+    from ..state.lineage import LineageSink, resumable_merge
+    from ..state.scratch import scratch_dir
+    from .merge import MergeConfig
+
+    root = scratch_dir("p2t_merge_resume_")
+    try:
+        src = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).slice(0, 60)
+        cells = synth_resultsets_batch(src)
+        store = os.path.join(root, "store")
+        sink = LineageSink(store, num_partitions=8, stage="cells")
+        sink.write(sink.add_partition_column(ray.data.from_arrow(cells)))
+
+        out = os.path.join(root, "merged")
+        first = resumable_merge(store, out, MergeConfig())
+        second = resumable_merge(store, out, MergeConfig())
+        df = first[["partition_id", "doc_count", "row_count"]].merge(
+            second[["partition_id", "status"]].rename(
+                columns={"status": "resume_status"}
+            ),
+            on="partition_id",
+        )
+        return df.sort_values("partition_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_extract_windowed(sf_dir: str):
     """split_pages-analogue windowed extraction (SURVEY.md S7) — output is
     bit-identical to the unwindowed flagship by construction (windows only
@@ -1227,6 +1269,7 @@ QUERIES = {
     "media_from_spans": q_media_from_spans,
     "filenorm_plan": q_filenorm_plan,
     "lineage_resume": q_lineage_resume,
+    "merge_resume": q_merge_resume,
     "extract_windowed": q_extract_windowed,
     "extract_mapped": q_extract_mapped,
     "scientific_names": q_scientific_names,

@@ -206,3 +206,93 @@ def resumable_extract(
 
 def read_extracted(output_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(output_dir, file_extensions=["parquet"])
+
+
+def resumable_merge(
+    store_dir: str,
+    output_dir: str,
+    config=None,
+) -> pd.DataFrame:
+    """Shuffle-free RESUMABLE merge over a lineage-bucketed cells store
+    (SURVEY.md J1 + J7 at 100 TB; reference analogues: tablemerge +
+    ``--append``, tablemerge/__main__.py:214-220).
+
+    The input store (a ``LineageSink.write`` output of CELLS_SCHEMA rows)
+    already co-locates every doc_id in exactly one ``part-XXXXX.parquet``,
+    so the merge needs NO exchange: one Ray task per *pending* partition
+    file reads it, merges per doc locally (same kernel as
+    ``merge_pipeline``), and writes the merged partition + its lineage
+    row atomically. Output partitioning mirrors the input's (partition i
+    → ``part-i``), keeping the ONE placement shuffle the corpus ever
+    paid reusable downstream. A killed run re-schedules only partitions
+    whose lineage row is missing — completed ones are never re-read, so
+    resume cost is O(pending), not O(corpus).
+
+    Returns one summary row per input partition: ``status`` "ok" for
+    partitions merged this run, "skipped" for ones a prior run completed.
+    """
+    import ray
+
+    from ..pipelines.merge import MergeConfig, merge_doc_records
+    from ..schema import CELLS_SCHEMA, rows_to_table, table_to_row_records
+    from ..stages.shuffle import apply_fn_per_group
+
+    cfg = config or MergeConfig()
+    sink = LineageSink(output_dir, stage="merge")
+    completed = sink.completed_partitions()
+    output_dir_, lineage_dir = sink.output_dir, sink.lineage_dir
+
+    paths = sorted(
+        name
+        for name in os.listdir(store_dir)
+        if name.startswith("part-") and name.endswith(".parquet")
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        records = table_to_row_records(group)
+        out = merge_doc_records(records, cfg)
+        if not out:
+            return CELLS_SCHEMA.empty_table()
+        return rows_to_table(out)
+
+    @ray.remote
+    def merge_partition(path: str, pid: int) -> dict:
+        t0 = time.perf_counter()
+        tbl = pq.read_table(path)
+        merged = apply_fn_per_group(tbl, ["doc_id"], merge_group, "pyarrow")
+        final = os.path.join(output_dir_, f"part-{pid:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, final)
+        rec = {
+            "partition_id": pid,
+            "stage": "merge",
+            "doc_count": len(set(merged.column("doc_id").to_pylist())),
+            "row_count": merged.num_rows,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+            "status": "ok",
+        }
+        ltmp = os.path.join(lineage_dir, f"{pid:05d}.json.tmp")
+        json.dump(rec, open(ltmp, "w"))
+        os.replace(ltmp, os.path.join(lineage_dir, f"{pid:05d}.json"))
+        return rec
+
+    refs, skipped = [], []
+    for name in paths:
+        pid = int(name.removeprefix("part-").removesuffix(".parquet"))
+        if pid in completed:
+            skipped.append(
+                {"partition_id": pid, "stage": "merge", "status": "skipped"}
+            )
+            continue
+        refs.append(merge_partition.remote(os.path.join(store_dir, name), pid))
+
+    # summary rows only — a few dicts per partition, never data
+    rows = skipped + list(ray.get(refs))
+    return (
+        pd.DataFrame(rows).sort_values("partition_id").reset_index(drop=True)
+        if rows
+        else pd.DataFrame(
+            columns=["partition_id", "stage", "status"]  # empty store
+        )
+    )

@@ -157,3 +157,85 @@ class TestScratchContract:
                 if '"/tmp' in line or "'/tmp" in line:
                     offenders.append(f"{path}:{i}")
         assert offenders == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumableMerge:
+    """state/lineage.resumable_merge: shuffle-free merge over the
+    bucketed cells store, resuming only pending partitions (verdict r2
+    item 8)."""
+
+    def _build_store(self, tmp_path, n_docs=30, num_partitions=6):
+        import pyarrow.parquet as pq
+
+        from paper2table_ray.sources.resultsets import synth_resultsets_batch
+
+        src = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        ).slice(0, n_docs)
+        cells = synth_resultsets_batch(src)
+        store = str(tmp_path / "store")
+        sink = LineageSink(store, num_partitions=num_partitions, stage="cells")
+        ds = sink.add_partition_column(ray.data.from_arrow(cells))
+        sink.write(ds)
+        return store, cells
+
+    def test_full_merge_matches_shuffled_pipeline(self, tmp_path):
+        from paper2table_ray.pipelines.merge import MergeConfig, merge_pipeline
+        from paper2table_ray.schema import table_to_row_records
+        from paper2table_ray.state.lineage import read_extracted, resumable_merge
+
+        store, cells = self._build_store(tmp_path)
+        cfg = MergeConfig()
+        out = str(tmp_path / "merged")
+        summary = resumable_merge(store, out, cfg)
+        assert (summary["status"] == "ok").all()
+
+        def comparable(records):
+            rows = [
+                (
+                    r["doc_id"], r["table_idx"], r["fragment_idx"], r["pos"],
+                    r["row_idx"], r["agreement_level"],
+                    tuple(r["sources"] or ()), repr(sorted(r["cells"].items())),
+                )
+                for r in records
+            ]
+            return sorted(rows)
+
+        got = []
+        for batch in read_extracted(out).iter_batches(batch_format="pyarrow"):
+            got.extend(table_to_row_records(batch))
+        exp = []
+        for batch in merge_pipeline(
+            ray.data.from_arrow(cells).repartition(4), cfg
+        ).iter_batches(batch_format="pyarrow"):
+            exp.extend(table_to_row_records(batch))
+        assert comparable(got) == comparable(exp)
+
+    def test_killed_merge_reruns_only_pending(self, tmp_path):
+        from paper2table_ray.pipelines.merge import MergeConfig
+        from paper2table_ray.state.lineage import resumable_merge
+
+        store, _ = self._build_store(tmp_path)
+        out = str(tmp_path / "merged")
+        first = resumable_merge(store, out, MergeConfig())
+        pids = sorted(first["partition_id"])
+
+        # simulate a crash that lost partitions 0 and 1: remove their
+        # lineage rows + output files
+        for pid in pids[:2]:
+            os.remove(os.path.join(out, "_lineage", f"{pid:05d}.json"))
+            os.remove(os.path.join(out, f"part-{pid:05d}.parquet"))
+        # sentinel-stamp a completed partition to prove it is not rewritten
+        sentinel = os.path.join(out, f"part-{pids[2]:05d}.parquet")
+        before = os.stat(sentinel).st_mtime_ns
+        open(sentinel + ".marker", "w").write("x")
+
+        second = resumable_merge(store, out, MergeConfig())
+        by_pid = dict(zip(second["partition_id"], second["status"]))
+        assert by_pid[pids[0]] == "ok" and by_pid[pids[1]] == "ok"
+        assert all(by_pid[p] == "skipped" for p in pids[2:])
+        assert os.stat(sentinel).st_mtime_ns == before
+        # the re-merged partitions exist again
+        for pid in pids[:2]:
+            assert os.path.exists(os.path.join(out, f"part-{pid:05d}.parquet"))
