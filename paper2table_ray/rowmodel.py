@@ -22,6 +22,7 @@ strings — see there).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Any, Dict, List, Optional, Union
 
 from .functions.text import (
@@ -132,14 +133,36 @@ def transliterate_value(value: ColumnValue) -> ColumnValue:
     return value
 
 
+@_lru_cache(maxsize=65536)
+def _fold_cell_str(value: str) -> str:
+    # normalize → transliterate composition, memoized: the merge cursor
+    # re-folds the same cell strings once per source pass, and values
+    # repeat heavily across a corpus.
+    return ascii_fold(normalize_column_value(value))
+
+
+def _fold_cell(value: ColumnValue):
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return _fold_cell_str(value)
+    # lists compare by (value, agreement) pairs; tuples are cheaper to
+    # build and compare than the dict form and equality is equivalent
+    return [(_fold_cell_str(v["value"]), v["agreement_level"]) for v in value]
+
+
 def same_row(left: Row, right: Row) -> bool:
     """tablesfile_merger.py:49-55: normalized + transliterated cell-dict
-    equality."""
-    left_cells = normalize_row(left)["cells"]
-    right_cells = normalize_row(right)["cells"]
-    return {k: transliterate_value(v) for k, v in left_cells.items()} == {
-        k: transliterate_value(v) for k, v in right_cells.items()
-    }
+    equality. Composition-equivalent to
+    ``transliterate(normalize_row(...))`` with the per-string fold
+    memoized and a key-set short-circuit."""
+    left_cells, right_cells = left["cells"], right["cells"]
+    if left_cells.keys() != right_cells.keys():
+        return False
+    return all(
+        _fold_cell(v) == _fold_cell(right_cells[k])
+        for k, v in left_cells.items()
+    )
 
 
 def fragment_is_empty(fragment: Fragment) -> bool:

@@ -131,20 +131,72 @@ def decode_cells(entries: list) -> Dict[str, ColumnValue]:
 # --- rows (python) ↔ cells table (arrow) -----------------------------------
 
 
+def _encode_cells_column(cell_dicts: List[Dict[str, ColumnValue]]) -> pa.Array:
+    """Flat-buffer encode of the cells column (inverse of
+    ``_decode_cells_column``): builds the map's offset/key/item buffers
+    in flat python lists and assembles the nested array in three
+    ``pa.array`` calls instead of boxing one list-of-list-of-tuples per
+    row for the generic converter."""
+    map_offsets = [0]
+    keys: List[str] = []
+    item_offsets = [0]
+    flat_vals: List[str] = []
+    flat_lvls: List[int] = []
+    n_pairs = 0
+    n_cells = 0
+    for cells in cell_dicts:
+        for name, value in cells.items():
+            keys.append(name)
+            if value is None:
+                flat_vals.append("")
+                flat_lvls.append(NONE_SENTINEL)
+                n_pairs += 1
+            elif isinstance(value, str):
+                flat_vals.append(value)
+                flat_lvls.append(PLAIN_STRING_SENTINEL)
+                n_pairs += 1
+            else:
+                for v in value:
+                    flat_vals.append(v["value"])
+                    flat_lvls.append(v["agreement_level"])
+                n_pairs += len(value)
+            item_offsets.append(n_pairs)
+            n_cells += 1
+        map_offsets.append(n_cells)
+
+    structs = pa.StructArray.from_arrays(
+        [
+            pa.array(flat_vals, type=pa.string()),
+            pa.array(flat_lvls, type=pa.int32()),
+        ],
+        names=["value", "agreement_level"],
+    )
+    items = pa.ListArray.from_arrays(
+        pa.array(item_offsets, type=pa.int32()), structs
+    )
+    return pa.MapArray.from_arrays(
+        pa.array(map_offsets, type=pa.int32()),
+        pa.array(keys, type=pa.string()),
+        items,
+    )
+
+
 def rows_to_table(records: List[dict]) -> pa.Table:
     """``records``: dicts with the CELLS_SCHEMA fields, ``cells`` as a
     python dict of ColumnValue and the metadata split out."""
-    cols: Dict[str, list] = {name: [] for name in CELLS_SCHEMA.names}
-    for rec in records:
-        for name in CELLS_SCHEMA.names:
-            if name == "cells":
-                cols[name].append(encode_cells(rec["cells"]))
-            else:
-                cols[name].append(rec.get(name))
-    arrays = [
-        pa.array(cols[name], type=CELLS_SCHEMA.field(name).type)
-        for name in CELLS_SCHEMA.names
-    ]
+    arrays = []
+    for name in CELLS_SCHEMA.names:
+        if name == "cells":
+            arrays.append(
+                _encode_cells_column([rec["cells"] for rec in records])
+            )
+        else:
+            arrays.append(
+                pa.array(
+                    [rec.get(name) for rec in records],
+                    type=CELLS_SCHEMA.field(name).type,
+                )
+            )
     return pa.Table.from_arrays(arrays, schema=CELLS_SCHEMA)
 
 
@@ -176,9 +228,23 @@ def _decode_cells_column(ca: pa.Array) -> List[dict]:
         cells = {}
         for k in range(o1, o2):
             i1, i2 = io[k] - v_start, io[k + 1] - v_start
-            cells[keys[k]] = decode_cell(
-                [(vals[i], lvls[i]) for i in range(i1, i2)]
-            )
+            # inline decode_cell: the 1-pair plain-string/None case is
+            # the overwhelming majority — skip the tuple boxing for it
+            if i2 - i1 == 1:
+                lvl = lvls[i1]
+                if lvl == PLAIN_STRING_SENTINEL:
+                    cells[keys[k]] = vals[i1]
+                elif lvl == NONE_SENTINEL:
+                    cells[keys[k]] = None
+                else:
+                    cells[keys[k]] = [
+                        {"value": vals[i1], "agreement_level": lvl}
+                    ]
+            else:
+                cells[keys[k]] = [
+                    {"value": vals[i], "agreement_level": lvls[i]}
+                    for i in range(i1, i2)
+                ]
         out.append(cells)
     return out
 
