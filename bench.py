@@ -28,6 +28,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # which measures scheduler latency, not scaling)
 REPEAT = int(os.environ.get("RAY_GRAFT_REPEAT", "1"))
 FLAGSHIP_ONLY = os.environ.get("GRAFT_FLAGSHIP_ONLY") == "1"
+# measurement repeats per timed section (headline + each query). The host
+# swings 2-10x between noise windows; single-shot numbers are unusable for
+# round-over-round comparison, so report BOTH the min (noise floor — the
+# comparable number) and the mean across repeats.
+BENCH_RUNS = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "3")))
 
 BENCH_QUERIES = [
     "lineitem_agg",
@@ -85,23 +90,36 @@ def run_bench() -> dict:
         for t in ("lineitem", "orders", "customer", "nation", "events", "documents", "embeddings"):
             rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    # headline: flagship extraction (synth → parse → spans), consumed fully
-    t0 = time.perf_counter()
-    n_spans = extract_pipeline_fused(SF_DIR, repeat=REPEAT).count()
-    headline = time.perf_counter() - t0
+    # headline: flagship extraction (synth → parse → spans), consumed
+    # fully, BENCH_RUNS times — min is the comparable number on this
+    # noisy host, mean is reported alongside
+    headline_runs = []
+    n_spans = 0
+    for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        n_spans = extract_pipeline_fused(SF_DIR, repeat=REPEAT).count()
+        headline_runs.append(time.perf_counter() - t0)
+    headline = min(headline_runs)
 
-    timings = {}
+    timings, timings_mean = {}, {}
     if not FLAGSHIP_ONLY:
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(BENCH_RUNS):
+                t0 = time.perf_counter()
+                _consume(QUERIES[name](SF_DIR))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            timings_mean[name] = round(sum(runs) / len(runs), 3)
 
     result = {
         "metric": "flagship extraction wall time (synth -> span parse -> spans) + operator suite",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_mean": timings_mean,
+        "bench_runs": BENCH_RUNS,
+        "value_mean": round(sum(headline_runs) / len(headline_runs), 3),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
@@ -123,6 +141,9 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             RAY_GRAFT_REPEAT=os.environ.get("RAY_GRAFT_REPEAT", "128"),
             GRAFT_FLAGSHIP_ONLY="1",
+            # adjacent-pairing is the scaling audit's noise strategy;
+            # single-shot legs keep the pairs adjacent in time
+            GRAFT_BENCH_RUNS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
