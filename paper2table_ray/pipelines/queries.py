@@ -1238,6 +1238,115 @@ def q_range_join_order_events(sf_dir: str):
 
 # --- registry ---------------------------------------------------------------
 
+def q_jaccard_pairs_exact(sf_dir: str):
+    """Exact word-trigram Jaccard near-dup pairs (stages/dedup.py
+    exact_jaccard_pairs) — the DuckDB-oracled verification baseline for
+    the LSH near-dup family (minhash/simhash/ngram variants are the
+    100-TB scale paths)."""
+    from ..stages.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_length_histogram(sf_dir: str):
+    """Corpus length distribution: 50-char buckets with doc counts and
+    per-bucket char extrema — the standard pre-filter diagnostic of a
+    training-data pipeline. Fully vectorized groupby aggregate."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars")
+        return batch.append_column(
+            "bucket",
+            pc.cast(pc.floor(pc.divide(pc.cast(n, pa.float64()), 50.0)), pa.int64()),
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+_SAMPLE_RATES = {"en": 20, "es": 40, "de": 60, "fr": 80}  # % kept; other langs 50
+
+
+def q_docs_sampled(sf_dir: str):
+    """Deterministic stratified sampling: per-language keep rates applied
+    via a content-addressed hash of the doc id (md5 low-quadword % 100 —
+    the same fold DuckDB's ``md5_number_upper`` computes), so the sample
+    is reproducible across runs, machines and engines — no RNG state to
+    coordinate. Embarrassingly parallel (pure per-row filter)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[:8], "little"
+            )
+            % 100
+            < _SAMPLE_RATES.get(lang, 50)
+            for d, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_token_topk(sf_dir: str):
+    """Corpus-level token frequency top-40 (heavy hitters): per-batch
+    Counter partials (one small (token, count) table per batch — the
+    pre-aggregation keeps the shuffle O(vocab), not O(tokens)) →
+    groupby(token) sum → deterministic (count DESC, token ASC) top-k."""
+    import re as _re
+    from collections import Counter
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(word_re.findall((text or "").lower()))
+        if not counts:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        toks, cs = zip(*counts.items())
+        return pa.table(
+            {
+                "token": pa.array(list(toks), pa.string()),
+                "cnt": pa.array(list(cs), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    totals["cnt"] = totals["cnt"].astype("int64")
+    totals = totals.sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    ).head(40)
+    return totals.reset_index(drop=True)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1270,6 +1379,10 @@ QUERIES = {
     "filenorm_plan": q_filenorm_plan,
     "lineage_resume": q_lineage_resume,
     "merge_resume": q_merge_resume,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "length_histogram": q_length_histogram,
+    "docs_sampled": q_docs_sampled,
+    "token_topk": q_token_topk,
     "extract_windowed": q_extract_windowed,
     "extract_mapped": q_extract_mapped,
     "scientific_names": q_scientific_names,
@@ -1427,6 +1540,55 @@ ORACLE_SQL = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    "jaccard_pairs_exact": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        ORDER BY doc_a, doc_b
+    """,
+    "length_histogram": """
+        SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    "docs_sampled": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+              CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 40
+                        WHEN 'de' THEN 60 WHEN 'fr' THEN 80 ELSE 50 END
+        ORDER BY doc_id
+    """,
+    "token_topk": """
+        SELECT token, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        )
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 40
     """,
     "quality_filter": """
         SELECT doc_id,

@@ -692,3 +692,138 @@ def ngram_jaccard_pairs(
         shingle_k=shingle_k,
         exact_verify=True,
     )
+
+
+_JACCARD_WORD_RE = None  # compiled lazily per worker
+
+
+def _word_trigrams(text: str) -> list:
+    """Lowercased ``[a-z0-9]+`` word trigrams, distinct, as strings —
+    the exact tokenization the DuckDB oracle replicates."""
+    global _JACCARD_WORD_RE
+    if _JACCARD_WORD_RE is None:
+        import re
+
+        _JACCARD_WORD_RE = re.compile(r"[a-z0-9]+")
+    ws = _JACCARD_WORD_RE.findall(text.lower())
+    return list({f"{ws[i]} {ws[i + 1]} {ws[i + 2]}" for i in range(len(ws) - 2)})
+
+
+def exact_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.6,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """EXACT word-trigram Jaccard near-dup pairs — the verification
+    baseline for the LSH family (``ngram_jaccard_pairs`` /
+    ``minhash_lsh_pairs`` are the scale paths, same relationship as
+    ``exact_embedding_dedup`` to the sign-LSH variant).
+
+    Shape: docs → distinct (shingle, doc_id) rows → coarse-shard groupby
+    on hash(shingle) emits intersection-count contributions per doc pair
+    → groupby(packed pair key) sums intersections → hash-join per-doc
+    set sizes onto both pair sides → vectorized jaccard + threshold.
+    Exactness requires every co-occurrence to be counted, so hot
+    shingles are NOT capped here — at corpus scale use the LSH variant
+    and reserve this op for verification slices.
+    """
+    from .joins import hash_join
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tri = _word_trigrams(text or "")
+            shs.extend(tri)
+            ids.extend([doc_id] * len(tri))
+        sh_arr = pa.array(shs, type=pa.string())
+        shard = pc.bit_wise_and(
+            pa.array(
+                pd.util.hash_array(np.asarray(shs, dtype=object)).astype("int64")
+            ),
+            num_shards - 1,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sh": sh_arr,
+                "shard": shard,
+            }
+        )
+
+    shingles = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    # per-doc set sizes: tiny aggregate (one int per doc)
+    from ray.data.aggregate import Count
+
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+
+    # intersection contributions: per shingle group, every (a<b) pair
+    # counts 1. Coarse-shard groupby → vectorized per-group pair-gen.
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sh", "doc_id"], kind="stable")
+        ids = df["doc_id"].to_numpy()
+        # run boundaries per shingle
+        sh = df["sh"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        acc_a, acc_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            grp = ids[s:e]
+            iu = np.triu_indices(m, k=1)
+            acc_a.append(grp[iu[0]])
+            acc_b.append(grp[iu[1]])
+        if not acc_a:
+            return pd.DataFrame({"pk": np.empty(0, dtype=np.int64)})
+        a = np.concatenate(acc_a)
+        b = np.concatenate(acc_b)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"pk": (lo << np.int64(32)) | hi})
+
+    pair_rows = shingles.repartition(num_shards).groupby("shard").map_groups(
+        shard_pairs, batch_format="pandas"
+    )
+    inter = pair_rows.groupby("pk").aggregate(Count(alias_name="inter"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": pa.array(pk >> np.int64(32), type=pa.int64()),
+                "doc_b": pa.array(pk & np.int64(0xFFFFFFFF), type=pa.int64()),
+                "inter": batch.column("inter"),
+            }
+        )
+
+    pairs = inter.map_batches(unpack, batch_format="pyarrow")
+    pairs = hash_join(pairs, sizes, "doc_a", "doc_id", ["n_sh"]).map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "n_sh" else "n_a" for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(pairs, sizes, "doc_b", "doc_id", ["n_sh"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_np = batch.column("inter").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_sh").to_numpy(zero_copy_only=False)
+        j = inter_np / (na + nb - inter_np)
+        keep = np.flatnonzero(j >= threshold)
+        out = batch.take(pa.array(keep))
+        return pa.table(
+            {
+                "doc_a": out.column("doc_a"),
+                "doc_b": out.column("doc_b"),
+                "jaccard": pa.array(np.round(j[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
