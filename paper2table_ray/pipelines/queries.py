@@ -1347,6 +1347,93 @@ def q_token_topk(sf_dir: str):
     return totals.reset_index(drop=True)
 
 
+_QUANTILE_PS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def q_chars_quantiles(sf_dir: str):
+    """EXACT per-language discrete quantiles of document length, computed
+    from a compact value histogram: groupby((lang, value)) count — the
+    shuffle carries O(langs × distinct values) rows, not O(docs) — then a
+    per-lang cumulative walk picks ``sorted[ceil(p·n)]`` (DuckDB
+    ``quantile_disc`` semantics). The histogram partial-agg is the
+    standard way to get exact order statistics without a global sort at
+    corpus scale (distinct lengths are bounded; for unbounded float
+    metrics the same shape degrades gracefully to fixed-width bins)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    counts = ds.groupby(["lang", "n_chars"]).aggregate(Count(alias_name="cnt"))
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        df = df.sort_values("n_chars")
+        vals = df["n_chars"].to_numpy()
+        cum = df["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": df["lang"].iloc[0]}
+        for p in _QUANTILE_PS:
+            idx = max(1, math.ceil(p * n))
+            row[f"p{int(p * 100)}"] = int(vals[np.searchsorted(cum, idx)])
+        return pd.DataFrame([row])
+
+    out = (
+        counts.groupby("lang")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrubbing (stages/textqc.Redactor): email → phone → long-digit
+    patterns applied sequentially, compiled once per actor. The corpus
+    text carries no PII, so the query plants deterministic synthetic
+    contact strings derived from doc_id (identically reconstructable in
+    the DuckDB oracle) and verifies the scrubbed output + per-doc
+    redaction counts by md5."""
+    from ..stages.textqc import Redactor
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = [
+            f"{t} contact user{d}@example.com call +1 (555) 010-"
+            f"{d % 10000:04d} id {d * 7919}"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        Redactor, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted_md5": pa.array(
+                    [
+                        _h.md5(t.encode()).hexdigest()
+                        for t in batch.column("redacted").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "n_redactions": batch.column("n_redactions"),
+            }
+        )
+
+    res = out.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1380,6 +1467,8 @@ QUERIES = {
     "lineage_resume": q_lineage_resume,
     "merge_resume": q_merge_resume,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "chars_quantiles": q_chars_quantiles,
+    "redact_pii": q_redact_pii,
     "length_histogram": q_length_histogram,
     "docs_sampled": q_docs_sampled,
     "token_topk": q_token_topk,
@@ -1563,6 +1652,45 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         ORDER BY doc_a, doc_b
+    """,
+    "redact_pii": """
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@example.com call +1 (555) 010-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' id ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1
+            FROM aug
+        ), s2 AS (
+            SELECT doc_id,
+                   regexp_replace(t, '\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS t,
+                   c1, len(regexp_extract_all(t, '\\+?[0-9][0-9() .-]{7,}[0-9]')) AS c2
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id,
+                   regexp_replace(t, '[0-9]{4,}', '<NUM>', 'g') AS t,
+                   c1, c2, len(regexp_extract_all(t, '[0-9]{4,}')) AS c3
+            FROM s2
+        )
+        SELECT doc_id, md5(t) AS redacted_md5,
+               (c1 + c2 + c3)::BIGINT AS n_redactions
+        FROM s3 ORDER BY doc_id
+    """,
+    "chars_quantiles": """
+        SELECT lang,
+               quantile_disc(n_chars, 0.25) AS p25,
+               quantile_disc(n_chars, 0.5)  AS p50,
+               quantile_disc(n_chars, 0.75) AS p75,
+               quantile_disc(n_chars, 0.95) AS p95,
+               quantile_disc(n_chars, 0.99) AS p99
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
     """,
     "length_histogram": """
         SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,

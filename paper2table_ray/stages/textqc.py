@@ -171,3 +171,44 @@ def add_winnow_sketch(batch: pa.Table, k: int = 5, window: int = 8) -> pa.Table:
     return batch.append_column(
         "winnow_sketch", pa.array(sketches, type=pa.list_(pa.uint64()))
     )
+
+
+# --- PII / pattern redaction -------------------------------------------------
+
+# ASCII-only patterns so Python re and DuckDB RE2 agree byte-for-byte.
+# Order matters: emails first (their local parts contain digits), then
+# long digit runs (phone-ish), applied sequentially.
+REDACT_PATTERNS: List[tuple] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+class Redactor:
+    """Actor-pool batch UDF: adds ``redacted`` (the scrubbed text) and
+    ``n_redactions`` per document. Patterns are compiled ONCE per actor
+    in ``__init__`` — the standard stateful-stage shape. PII scrubbing is
+    a stock pre-training curation stage; the stub patterns here are
+    deliberately simple and deterministic so the DuckDB oracle can
+    replicate them with ``regexp_replace(..., 'g')`` exactly."""
+
+    def __init__(self, patterns=None):
+        self.patterns = [
+            (re.compile(p), repl) for p, repl in (patterns or REDACT_PATTERNS)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        red, counts = [], []
+        for t in texts:
+            t = t or ""
+            n = 0
+            for rx, repl in self.patterns:
+                t, k = rx.subn(repl, t)
+                n += k
+            red.append(t)
+            counts.append(n)
+        return batch.append_column(
+            "redacted", pa.array(red, pa.string())
+        ).append_column("n_redactions", pa.array(counts, pa.int64()))
