@@ -203,8 +203,29 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's per-stage ``ds.stats()`` — the
+    feedback loop for keeping wall time dominated by useful compute."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from paper2table_ray.pipelines.extract import extract_pipeline_fused
+
+    ds = extract_pipeline_fused(SF_DIR, repeat=REPEAT).materialize()
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
