@@ -1434,6 +1434,90 @@ def q_redact_pii(sf_dir: str):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark-decontamination check: flag corpus documents sharing any
+    word trigram with a probe set (here: the trigrams of doc_id < 10,
+    standing in for an eval benchmark). The probe set is SMALL by
+    construction, so it is broadcast once (`ray.put`) and each batch
+    filters against it locally — an embarrassingly parallel membership
+    scan, no shuffle at all. This is the standard shape for train/test
+    overlap scrubbing at corpus scale."""
+    from ..stages.dedup import _word_trigrams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # probe side: tiny by construction — pruned at the read (column
+    # projection + parquet row filter), built driver-side, broadcast once
+    probe_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text"],
+        filters=[("doc_id", "<", 10)],
+    )
+    probe = set()
+    for t in probe_tbl.column("text").to_pylist():
+        probe.update(_word_trigrams(t or ""))
+    probe_ref = ray.put(frozenset(probe))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        pset = ray.get(probe_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep_ids, counts = [], []
+        for d, t in zip(ids, texts):
+            if d < 10:
+                continue  # the probe set itself is not a hit
+            shared = sum(1 for sh in _word_trigrams(t or "") if sh in pset)
+            if shared:
+                keep_ids.append(d)
+                counts.append(shared)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "shared_trigrams": pa.array(counts, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_token_chunks(sf_dir: str):
+    """Sequence packing (LM-training prep): chunk each document's token
+    stream into fixed 64-token windows, emitting (doc_id, chunk_idx,
+    n_tokens, first_token, last_token) per chunk. Pure per-doc flat_map
+    — embarrassingly parallel, output rows ≈ tokens/64."""
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids_out, cidx, ntok, first, last = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = word_re.findall((t or "").lower())
+            for i in range(0, len(toks), 64):
+                w = toks[i : i + 64]
+                ids_out.append(d)
+                cidx.append(i // 64)
+                ntok.append(len(w))
+                first.append(w[0])
+                last.append(w[-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "first_token": pa.array(first, pa.string()),
+                "last_token": pa.array(last, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1469,6 +1553,8 @@ QUERIES = {
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "chars_quantiles": q_chars_quantiles,
     "redact_pii": q_redact_pii,
+    "contamination": q_contamination,
+    "token_chunks": q_token_chunks,
     "length_histogram": q_length_histogram,
     "docs_sampled": q_docs_sampled,
     "token_topk": q_token_topk,
@@ -1652,6 +1738,36 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         ORDER BY doc_a, doc_b
+    """,
+    "contamination": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+        ), probe AS (
+            SELECT DISTINCT sh FROM tri WHERE doc_id < 10
+        )
+        SELECT tri.doc_id, count(*)::BIGINT AS shared_trigrams
+        FROM tri JOIN probe ON tri.sh = probe.sh
+        WHERE tri.doc_id >= 10
+        GROUP BY tri.doc_id
+        ORDER BY tri.doc_id
+    """,
+    "token_chunks": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        )
+        SELECT doc_id, i AS chunk_idx,
+               len(ws[i*64+1 : least((i+1)*64, len(ws))]) AS n_tokens,
+               ws[i*64 + 1] AS first_token,
+               ws[least((i+1)*64, len(ws))] AS last_token
+        FROM toks, UNNEST(range(0, CAST(ceil(len(ws) / 64.0) AS BIGINT))) AS t(i)
+        WHERE len(ws) > 0
+        ORDER BY doc_id, chunk_idx
     """,
     "redact_pii": """
         WITH aug AS (
