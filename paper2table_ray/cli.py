@@ -314,8 +314,39 @@ def cmd_filenorm(argv: List[str]) -> int:
     return 0
 
 
+def cmd_curate(argv: List[str]) -> int:
+    """Training-data curation funnel: documents parquet → filtered,
+    deduped (optionally redacted) partitioned parquet with lineage —
+    resumable by re-running the same command."""
+    p = argparse.ArgumentParser(prog="curate")
+    p.add_argument("input", help="parquet file/dir with (doc_id, text) docs")
+    p.add_argument("-o", "--output", required=True, help="output dir (lineage-partitioned)")
+    p.add_argument("--langs", help="comma-separated language allowlist (e.g. en,es)")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--redact", action="store_true", help="scrub emails/phones/long digits")
+    p.add_argument("--partitions", type=int, default=32)
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    from .pipelines.curate import curate_to_dir
+
+    summary = curate_to_dir(
+        args.input,
+        args.output,
+        langs=args.langs.split(",") if args.langs else None,
+        min_quality=args.min_quality,
+        dedup=not args.no_dedup,
+        redact=args.redact,
+        num_partitions=args.partitions,
+    )
+    print(summary.to_string(index=False))
+    return 0
+
+
 COMMANDS = {
     "extract": cmd_extract,
+    "curate": cmd_curate,
     "tablemerge": cmd_tablemerge,
     "tablestats": cmd_tablestats,
     "table2csv": cmd_table2csv,

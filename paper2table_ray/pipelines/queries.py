@@ -1518,6 +1518,22 @@ def q_token_chunks(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def q_curate_docs(sf_dir: str):
+    """Flagship curation funnel (pipelines/curate.py): features + quality
+    (vectorized) → language ID (actor pool) → lang/quality filters →
+    exact-dedup survivor semi-join. Every component's semantics are
+    replicated exactly in the composed DuckDB oracle."""
+    from .curate import curate_pipeline
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate_pipeline(
+        docs, langs=["en", "es"], min_quality=0.4, dedup=True, redact=False
+    ).to_pandas()
+    out = out[["doc_id", "lang_pred", "quality_score"]]
+    out["quality_score"] = round_sql(out["quality_score"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1554,6 +1570,7 @@ QUERIES = {
     "chars_quantiles": q_chars_quantiles,
     "redact_pii": q_redact_pii,
     "contamination": q_contamination,
+    "curate_docs": q_curate_docs,
     "token_chunks": q_token_chunks,
     "length_histogram": q_length_histogram,
     "docs_sampled": q_docs_sampled,
@@ -1738,6 +1755,51 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         ORDER BY doc_a, doc_b
+    """,
+    "curate_docs": """
+        WITH toks AS (
+            SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, text, t,
+                len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','was','for','on','with','as','by','that','it','from','at','this','are','be'))) AS en,
+                len(list_filter(t, x -> x IN ('el','la','los','las','de','del','y','en','es','un','una','para','con','por','que','se','al','lo','como'))) AS es,
+                len(list_filter(t, x -> x IN ('der','die','das','und','von','zu','mit','den','im','für','ist','nicht','ein','eine','auf','des'))) AS de,
+                len(list_filter(t, x -> x IN ('le','la','les','de','des','et','en','un','une','pour','avec','par','que','se','au','du','dans','est'))) AS fr
+            FROM toks
+        ), langed AS (
+            SELECT doc_id, text, en,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token_count,
+                   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       AS punct_count,
+                   greatest(length(text), 1) AS n_chars,
+                   CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                        WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                        WHEN es >= de AND es >= fr THEN 'es'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM hits
+        ), scored AS (
+            SELECT doc_id, text, lang_pred,
+                   (least(token_count / 100.0, 1.0)
+                    + least((CASE WHEN token_count > 0
+                                  THEN en::DOUBLE / token_count
+                                  ELSE 0.0 END) / 0.4, 1.0)
+                    + 1.0 - least((punct_count::DOUBLE / n_chars) / 0.25, 1.0)
+                   ) / 3.0 AS quality_score
+            FROM langed
+        ), survivors AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        )
+        SELECT s.doc_id, s.lang_pred, round(s.quality_score, 6) AS quality_score
+        FROM scored s JOIN survivors USING (doc_id)
+        WHERE s.lang_pred IN ('en', 'es') AND s.quality_score >= 0.4
+        ORDER BY s.doc_id
     """,
     "contamination": """
         WITH toks AS (

@@ -239,3 +239,78 @@ class TestResumableMerge:
         # the re-merged partitions exist again
         for pid in pids[:2]:
             assert os.path.exists(os.path.join(out, f"part-{pid:05d}.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCuratePipeline:
+    """pipelines/curate.py: the composed curation funnel + resumable
+    job (its per-component semantics are oracled via curate_docs)."""
+
+    SF = "/root/testdata/sf0.001/documents.parquet"
+
+    def test_curate_to_dir_and_resume(self, tmp_path):
+        from paper2table_ray.pipelines.curate import curate_to_dir
+        from paper2table_ray.state.lineage import read_extracted
+
+        out = str(tmp_path / "curated")
+        first = curate_to_dir(self.SF, out, langs=["en", "es"],
+                              min_quality=0.2, num_partitions=8)
+        assert (first["status"] == "ok").all()
+        curated = read_extracted(out).to_pandas()
+        assert len(curated) > 0
+        assert set(curated["lang_pred"]) <= {"en", "es"}
+        assert (curated["quality_score"] >= 0.2).all()
+
+        # resume: drop two partitions' lineage + files, re-run, only they
+        # are re-processed (others filtered out pre-pipeline)
+        pids = sorted(first["partition_id"])[:2]
+        for pid in pids:
+            os.remove(os.path.join(out, "_lineage", f"{pid:05d}.json"))
+            os.remove(os.path.join(out, f"part-{pid:05d}.parquet"))
+        second = curate_to_dir(self.SF, out, langs=["en", "es"],
+                               min_quality=0.2, num_partitions=8)
+        assert sorted(second["partition_id"]) == pids
+        # full output restored, identical row count
+        assert len(read_extracted(out).to_pandas()) == len(curated)
+
+    def test_dedup_semi_join_drops_duplicates(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.pipelines.curate import curate_pipeline
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        ["the same text here", "the same text here",
+                         "the other text is here"],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        out = curate_pipeline(docs, dedup=True).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3]
+
+    def test_redact_attaches_columns(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.pipelines.curate import curate_pipeline
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(
+                        ["write to me me@example.com or 12345678"], pa.string()
+                    ),
+                }
+            )
+        )
+        out = curate_pipeline(docs, dedup=False, redact=True).to_pandas()
+        assert out["n_redactions"].iloc[0] == 2
+        assert "<EMAIL>" in out["redacted"].iloc[0]
+        assert "<NUM>" in out["redacted"].iloc[0]
