@@ -800,7 +800,21 @@ def exact_jaccard_pairs(
             }
         )
 
-    pairs = inter.map_batches(unpack, batch_format="pyarrow")
+    # the candidate pair set is bounded by true near-dups — small relative
+    # to the corpus; materializing it also gives the empty degenerate case
+    # (no doc shares a trigram) a definite answer without schema-less
+    # empty blocks reaching the join build
+    pairs = inter.map_batches(unpack, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     pairs = hash_join(pairs, sizes, "doc_a", "doc_id", ["n_sh"]).map_batches(
         lambda b: b.rename_columns(
             [c if c != "n_sh" else "n_a" for c in b.column_names]

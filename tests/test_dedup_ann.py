@@ -264,3 +264,71 @@ class TestANN:
         ix2 = SignLSHIndexer(4, n_bits=4, seed=7)
         m = np.random.RandomState(0).standard_normal((10, 4))
         assert (ix1.code(m) == ix2.code(m)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactJaccard:
+    """exact_jaccard_pairs ≡ brute force over all pairs (the stage is
+    additionally DuckDB-oracled end-to-end via jaccard_pairs_exact)."""
+
+    def test_matches_bruteforce(self):
+        import itertools
+        import random
+
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import _word_trigrams, exact_jaccard_pairs
+
+        rng = random.Random(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        texts = []
+        for i in range(40):
+            if i % 5 == 0 and i:
+                # near-duplicate of a previous doc
+                base = texts[i - 1].split()
+                k = rng.randrange(len(base))
+                base[k] = rng.choice(vocab)
+                texts.append(" ".join(base))
+            else:
+                texts.append(" ".join(rng.choice(vocab) for _ in range(30)))
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(40)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = exact_jaccard_pairs(docs, threshold=0.5).to_pandas()
+        got_set = {
+            (int(a), int(b)): round(j, 6)
+            for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+        }
+
+        sets = [set(_word_trigrams(t)) for t in texts]
+        exp = {}
+        for a, b in itertools.combinations(range(40), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                exp[(a, b)] = round(inter / union, 6)
+        assert got_set == exp
+        assert exp  # the corpus genuinely contains near-dups
+
+    def test_empty_and_short_docs_produce_no_pairs(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import exact_jaccard_pairs
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["", "one two", "one two"], pa.string()),
+                }
+            )
+        )
+        out = exact_jaccard_pairs(docs).to_pandas()
+        assert len(out) == 0
