@@ -1246,8 +1246,10 @@ def q_jaccard_pairs_exact(sf_dir: str):
     from ..stages.dedup import exact_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = exact_jaccard_pairs(ds, threshold=0.6).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # streaming Dataset out — near-dup pair sets can be ~corpus-sized at
+    # scale, so they never materialize on the driver (driver compare is
+    # order-insensitive)
+    return exact_jaccard_pairs(ds, threshold=0.6)
 
 
 def q_length_histogram(sf_dir: str):
@@ -1303,8 +1305,8 @@ def q_docs_sampled(sf_dir: str):
         ]
         return batch.filter(pa.array(keep))
 
-    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # streaming: the sample is rate × corpus — driver never holds it
+    return ds.map_batches(sample, batch_format="pyarrow")
 
 
 def q_token_topk(sf_dir: str):
@@ -1430,8 +1432,8 @@ def q_redact_pii(sf_dir: str):
             }
         )
 
-    res = out.map_batches(digest, batch_format="pyarrow").to_pandas()
-    return res.sort_values("doc_id").reset_index(drop=True)
+    # streaming: one row per doc — corpus-sized, never driver-held
+    return out.map_batches(digest, batch_format="pyarrow")
 
 
 def q_contamination(sf_dir: str):
@@ -1477,8 +1479,8 @@ def q_contamination(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # streaming: contaminated-doc lists can be large under hot probes
+    return ds.map_batches(flag, batch_format="pyarrow")
 
 
 def q_token_chunks(sf_dir: str):
@@ -1514,8 +1516,8 @@ def q_token_chunks(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # streaming: output rows ≈ tokens/64 — corpus-scale, never driver-held
+    return ds.map_batches(chunks, batch_format="pyarrow")
 
 
 def q_curate_docs(sf_dir: str):
