@@ -27,7 +27,11 @@ def _ensure_ray():
 def cmd_extract(argv: List[str]) -> int:
     """paper2table analogue: interleaved docs parquet → span parquet."""
     p = argparse.ArgumentParser(prog="extract")
-    p.add_argument("input", help="parquet file/dir with (doc_id, spans) docs")
+    p.add_argument(
+        "input",
+        help="parquet file/dir with (doc_id, spans) docs; accepts the "
+        "reference's 'path:first:last' page-range suffix",
+    )
     p.add_argument("-o", "--output", required=True, help="output parquet dir")
     p.add_argument("--windowed", action="store_true", help="split_pages-style fan-out")
     p.add_argument("--window-spans", type=int, default=256)
@@ -45,9 +49,13 @@ def cmd_extract(argv: List[str]) -> int:
         extract_spans_windowed,
         plan_mappings_ds,
     )
+    from .functions.text import parse_page_range
+    from .stages.extract import ExtractConfig
     from .state.lineage import LineageSink
 
-    docs = ray.data.read_parquet(args.input)
+    input_path, page_range = parse_page_range(args.input)
+    config = ExtractConfig(page_range=page_range) if page_range else None
+    docs = ray.data.read_parquet(input_path)
     if args.resume:
         sink = LineageSink(args.output, num_partitions=args.partitions)
         docs = sink.filter_pending(sink.add_partition_column(docs))
@@ -55,11 +63,13 @@ def cmd_extract(argv: List[str]) -> int:
         # mapping side stays a Dataset end-to-end (in-task cache IO;
         # extract_spans_mapped size-gates broadcast vs doc_id shard join)
         mappings = plan_mappings_ds(docs, cache_dir=args.mappings)
-        spans = extract_spans_mapped(docs, mappings)
+        spans = extract_spans_mapped(docs, mappings, config=config)
     elif args.windowed:
-        spans = extract_spans_windowed(docs, window_spans=args.window_spans)
+        spans = extract_spans_windowed(
+            docs, config=config, window_spans=args.window_spans
+        )
     else:
-        spans = extract_spans(docs)
+        spans = extract_spans(docs, config=config)
     if args.resume:
         sink = LineageSink(args.output, num_partitions=args.partitions)
         summary = sink.write(sink.add_partition_column(spans))

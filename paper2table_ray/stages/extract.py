@@ -86,6 +86,12 @@ class ExtractConfig:
     # readers/document.py:92-119 + pdfplumber.py:52-66: iterate candidate
     # settings, first successful parse wins, fail only after all fail)
     strategies: Tuple[str, ...] = ("tab", "spaces", "pipe")
+    # 1-based inclusive page window (reference 'file.pdf:first:last'
+    # syntax, page_range.py:5-14 + split_pages.py page_range): only table
+    # runs numbered within the window are extracted; runs outside yield
+    # nothing (the reference skips those pages entirely — non-table spans
+    # are kept here since this engine's output interleaves them)
+    page_range: Optional[Tuple[int, int]] = None
 
 
 class SpanExtractor:
@@ -149,11 +155,17 @@ class SpanExtractor:
         table_run: List[str] = []
         table_no = [0]  # fragment counter (for first_page_only header mode)
 
+        page_range = self.config.page_range
+
         def flush_table():
             if table_run:
                 tm = None
                 skip = False
                 is_first = table_no[0] == 0
+                if page_range is not None:
+                    run_no = table_no[0] + 1
+                    if not (page_range[0] <= run_no <= page_range[1]):
+                        skip = True
                 if norm is not None:
                     if norm["apply_to_all"]:
                         tm = norm["tables"][0]

@@ -418,3 +418,71 @@ class TestMappedReaderEdgeCases:
             CELL_SEP.join(["second"])
         ]
         assert out[out["kind"] == "row"]["text"].tolist() == ["2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRange:
+    """ExtractConfig.page_range — the reference's 'file.pdf:first:last'
+    page window (page_range.py:5-14 + split_pages.py page_range), applied
+    to 1-based table runs (ports of test_split_pages.py:135-160)."""
+
+    def _three_run_doc(self):
+        rows = []
+        for run in range(3):
+            rows.append(("table_row", CELL_SEP.join([f"a{run}", f"b{run}"]), ""))
+            rows.append(("text", f"between {run} " + "q" * 30, ""))
+        return ray.data.from_arrow(_doc("docpr", rows))
+
+    def test_range_includes_matching_runs(self):
+        # ref test_read_tables_page_range_includes_matching_page
+        cfg = ExtractConfig(page_range=(1, 2))
+        out = _spans_df(extract_spans(self._three_run_doc(), config=cfg))
+        assert (out["kind"] == "table").sum() == 2
+
+    def test_range_skips_runs_outside(self):
+        # ref test_read_tables_page_range_skips_pages_outside_range:
+        # window entirely past the runs → zero tables
+        cfg = ExtractConfig(page_range=(4, 6))
+        out = _spans_df(extract_spans(self._three_run_doc(), config=cfg))
+        assert (out["kind"] == "table").sum() == 0
+
+    def test_no_range_processes_all_runs(self):
+        # ref test_read_tables_no_page_range_processes_all_pages
+        out = _spans_df(extract_spans(self._three_run_doc()))
+        assert (out["kind"] == "table").sum() == 3
+
+    def test_cli_page_range_suffix(self, tmp_path):
+        # e2e through the CLI's 'path:first:last' syntax (M9 wired)
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "docs.parquet"
+        rows = []
+        for run in range(3):
+            rows.append(("table_row", CELL_SEP.join([f"a{run}", f"b{run}"]), ""))
+            rows.append(("text", f"between {run} " + "q" * 30, ""))
+        pq.write_table(_doc("docpr", rows), src)
+        out_dir = tmp_path / "spans"
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "paper2table_ray.cli",
+                "extract",
+                f"{src}:2:2",
+                "-o",
+                str(out_dir),
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        got = ray.data.read_parquet(str(out_dir)).to_pandas()
+        tables = got[got["kind"] == "table"]
+        assert len(tables) == 1
+        assert tables["text"].iloc[0] == CELL_SEP.join(["0", "1"])
+        rows_out = got[got["kind"] == "row"]["text"].tolist()
+        assert rows_out == [CELL_SEP.join(["a1", "b1"])]
