@@ -1536,6 +1536,95 @@ def q_curate_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window analytic: per event_type, the trailing-3-hour event
+    count at every active hour. Hourly partials first (the combiner —
+    the shuffle carries types × hours rows, not events), then a
+    vectorized cumsum/searchsorted window inside each type's group —
+    time-based, so hour gaps are handled like SQL RANGE frames."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            p_n=("ts", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hour").reset_index(drop=True)
+        hours = df["hour"].to_numpy()
+        csum = np.concatenate([[0], df["n"].to_numpy().cumsum()])
+        left = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
+        right = np.arange(1, len(hours) + 1)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["hour"],
+                "n_3h": (csum[right] - csum[left]).astype("int64"),
+            }
+        )
+
+    out = (
+        hourly.groupby("event_type")
+        .map_groups(window, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_3h"] = out["n_3h"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_distinct_tokens_per_lang(sf_dir: str):
+    """Distinct-count aggregate: unique token vocabulary size per
+    language. Per-batch (lang, token) dedup partials shrink the shuffle
+    to the per-batch vocabulary; a groupby on the pair finishes the
+    global dedup, and a count per lang reduces it — COUNT(DISTINCT)
+    without ever shipping raw token streams."""
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in word_re.findall((text or "").lower()):
+                seen.add((lang, tok))
+        if not seen:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "token": pa.array([], pa.string())}
+            )
+        langs, toks = zip(*sorted(seen))
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), pa.string()),
+                "token": pa.array(list(toks), pa.string()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    out = (
+        distinct.groupby("lang")
+        .aggregate(Count(alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1573,6 +1662,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "contamination": q_contamination,
     "curate_docs": q_curate_docs,
+    "events_sliding": q_events_sliding,
+    "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "token_chunks": q_token_chunks,
     "length_histogram": q_length_histogram,
     "docs_sampled": q_docs_sampled,
@@ -1757,6 +1848,28 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         ORDER BY doc_a, doc_b
+    """,
+    "events_sliding": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour,
+               sum(n) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+               )::BIGINT AS n_3h
+        FROM hourly
+        ORDER BY event_type, hour
+    """,
+    "distinct_tokens_per_lang": """
+        SELECT lang, count(DISTINCT token)::BIGINT AS n_tokens FROM (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        )
+        GROUP BY lang
+        ORDER BY lang
     """,
     "curate_docs": """
         WITH toks AS (
