@@ -148,3 +148,44 @@ def test_normalize_row_preserves_sources_and_row_idx():
 def test_normalize_row_no_data_cells_become_empty():
     row = R(family="no data", name="Real Value")
     assert rm.normalize_row(row) == R(family="", name="real value")
+
+
+# --- normalize_value granular matrix (test_rows.py:6-120; the reference's
+# Row.normalize_value ≡ our functions/text.normalize_column_value) ------------
+
+import pytest as _pytest
+
+from paper2table_ray.functions.text import normalize_column_value
+
+
+@_pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("no data", ""),                       # no-data lowercase
+        ("No Data", ""),                       # no-data uppercase
+        ("  no  data  ", ""),                  # no-data extra whitespace
+        ("None", ""),                          # literal None string
+        ("Perez et al. 2020", "perez et al. 2020"),
+        ("Perez  et   al.", "perez et al."),   # whitespace collapse
+        ("  Perez 2020  ", "perez 2020"),      # edge strip
+        ("Perez–Vílchez 2020", "perez-vílchez 2020"),  # en dash
+        ("Perez—Vílchez 2020", "perez-vílchez 2020"),  # em dash
+        ("Apiaceae", "apiaceae"),
+        ("2–5", "2-5"),                        # en dash numeric
+        ("Jan—Feb", "jan-feb"),                # em dash
+        ("10‒20", "10-20"),                    # figure dash
+        ("A―B", "a-b"),                        # horizontal bar
+        ("−5", "-5"),                          # minus sign
+        ("A‐B", "a-b"),                        # hyphen variant U+2010
+        ("A‑B", "a-b"),                        # hyphen variant U+2011
+        ("hello�world", "helloworld"),         # replacement char
+        ("hello\x00world\x1fend", "helloworldend"),  # control chars
+        ("Apiaceae�", "apiaceae"),
+        ("(cid:237)", "í"),                    # cid latin-1 accented
+        ("L(cid:243)pez", "lópez"),            # cid inside a word
+        ("(cid:42)", ""),                      # cid outside latin-1
+        ("hello (cid:7) world", "hello world"),
+    ],
+)
+def test_normalize_value_matrix(raw, expected):
+    assert normalize_column_value(raw) == expected

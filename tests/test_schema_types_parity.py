@@ -135,3 +135,14 @@ def test_from_settings_dict_roundtrip():
     schema = ColumnSchema.from_settings_dict({"family": "str", "count": "int"})
     assert schema.serialize() == {"family": "str", "count": "int"}
     assert ColumnSchema.from_settings_dict({}) is None
+
+
+def test_serialize_scientific_name_type():
+    # ref test_column_schema.py:82-84
+    schema = ColumnSchema({"species": scientific_name})
+    assert schema.serialize() == {"species": "scientific_name"}
+
+
+def test_scientific_name_is_str_subclass():
+    # ref test_column_schema.py:87-88
+    assert issubclass(scientific_name, str)

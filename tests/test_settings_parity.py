@@ -183,3 +183,154 @@ def test_column_schema_from_settings_dict_single_field():
     schema = ColumnSchema.from_settings_dict({"family": "str"})
     assert schema is not None
     assert schema.serialize() == {"family": "str"}
+
+
+# --- to_dict / from_dict field-level cases (test_settings.py:145-306) --------
+
+
+def test_from_dict_includes_paths():
+    settings = MergeSettings.from_dict({"paths": ["dir_x", "dir_y"]})
+    assert settings.paths == ["dir_x", "dir_y"]
+
+
+def test_to_dict_includes_paths():
+    settings = MergeSettings.from_dict({"paths": ["dir_x", "dir_y"]})
+    assert settings.to_dict()["paths"] == ["dir_x", "dir_y"]
+
+
+def test_to_dict_paths_defaults_to_empty_list():
+    assert MergeSettings.from_dict({}).to_dict()["paths"] == []
+
+
+def test_merge_settings_from_dict_simple_fields():
+    settings = MergeSettings.from_dict(
+        {
+            "agreement_method": "distinct-readers",
+            "drop_empty_columns": False,
+            "drop_empty_tables": False,
+            "only_semantic_columns": True,
+            "remove_header_rows": True,
+            "column_names_hints": ["species", "family"],
+            "schema": {"family": "str", "count": "int"},
+        }
+    )
+    assert settings.agreement_method == "distinct-readers"
+    assert settings.drop_empty_columns is False
+    assert settings.drop_empty_tables is False
+    assert settings.only_semantic_columns is True
+    assert settings.remove_header_rows is True
+    assert settings.column_names_hints == ["species", "family"]
+    assert settings.schema == {"family": "str", "count": "int"}
+
+
+def test_to_dict_simple_fields():
+    defaults = MergeSettings.from_dict(
+        {
+            "agreement_method": "distinct-readers",
+            "drop_empty_columns": False,
+            "drop_empty_tables": True,
+            "only_semantic_columns": True,
+            "remove_header_rows": True,
+        }
+    ).to_dict()
+    assert defaults["agreement_method"] == "distinct-readers"
+    assert defaults["drop_empty_columns"] is False
+    assert defaults["drop_empty_tables"] is True
+    assert defaults["only_semantic_columns"] is True
+    assert defaults["remove_header_rows"] is True
+
+
+def test_to_dict_pretransformers():
+    defaults = MergeSettings.from_dict(
+        {"filter_title_rows": True, "strip_leading_row_numbers": True}
+    ).to_dict()
+    assert defaults["filter_title_rows"] is True
+    assert defaults["strip_leading_row_numbers"] is True
+    assert defaults["fix_reversed_column_values"] is False
+    assert defaults["normalize_punctuation"] is False
+    assert defaults["split_conjunction_columns"] is False
+
+
+def test_to_dict_no_title_filter_when_absent():
+    assert (
+        MergeSettings.from_dict({"filter_title_rows": False}).to_dict()[
+            "filter_title_rows"
+        ]
+        is False
+    )
+
+
+def test_to_dict_language_from_reverser():
+    defaults = MergeSettings.from_dict(
+        {"semantic_language": "es", "fix_reversed_column_values": True}
+    ).to_dict()
+    assert defaults["fix_reversed_column_values"] is True
+    assert defaults["semantic_language"] == "es"
+
+
+def test_to_dict_tablesfile_transformer_explode():
+    assert (
+        MergeSettings.from_dict({"transform_tablesfile": "explode"}).to_dict()[
+            "transform_tablesfile"
+        ]
+        == "explode"
+    )
+
+
+def test_to_dict_tablesfile_transformer_safe_compact():
+    assert (
+        MergeSettings.from_dict({"transform_tablesfile": "safe-compact"}).to_dict()[
+            "transform_tablesfile"
+        ]
+        == "safe-compact"
+    )
+
+
+def test_to_dict_tablesfile_transformer_unsafe_compact():
+    assert (
+        MergeSettings.from_dict({"transform_tablesfile": "unsafe-compact"}).to_dict()[
+            "transform_tablesfile"
+        ]
+        == "unsafe-compact"
+    )
+
+
+def test_to_dict_analyzers():
+    defaults = MergeSettings.from_dict(
+        {
+            "jaccard_column_alignment": True,
+            "column_value_semantic_alignment": True,
+            "column_name_semantic_alignment": False,
+            "column_alignment_threshold": 0.7,
+            "semantic_language": "es",
+            "hints_column_alignment": "unsafe",
+        }
+    ).to_dict()
+    assert defaults["jaccard_column_alignment"] is True
+    assert defaults["column_value_semantic_alignment"] is True
+    assert defaults["column_name_semantic_alignment"] is False
+    assert defaults["column_alignment_threshold"] == 0.7
+    assert defaults["semantic_language"] == "es"
+    assert defaults["hints_column_alignment"] == "unsafe"
+
+
+def test_to_dict_hints_safe_mode():
+    assert (
+        MergeSettings.from_dict({"hints_column_alignment": "safe"}).to_dict()[
+            "hints_column_alignment"
+        ]
+        == "safe"
+    )
+
+
+def test_to_dict_postprocessors():
+    defaults = MergeSettings.from_dict(
+        {
+            "filter_schema_columns": True,
+            "order_schema_columns": False,
+            "coerce_schema_column_types": True,
+        }
+    ).to_dict()
+    assert defaults["filter_schema_columns"] is True
+    assert defaults["order_schema_columns"] is False
+    assert defaults["coerce_schema_column_types"] is True
