@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 52 queries, 39 with
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 53 queries, 40 with
 DuckDB oracles. Ops whose semantics are not SQL-expressible (LSH dedup
 pair sets, the cells merge model, extraction over the synthesized
 interleaved corpus) are rows-only by design — their correctness gates are

@@ -1625,6 +1625,19 @@ def q_distinct_tokens_per_lang(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster collapse: exact-Jaccard pairs → connected
+    components (hash-to-min label propagation, stages/dedup.py
+    near_dup_clusters) → (doc_id, cluster_id = min doc in component).
+    The step that turns pair candidates into dedup ACTIONS; oracled via
+    a DuckDB recursive-CTE transitive closure over the same pair SQL."""
+    from ..stages.dedup import exact_jaccard_pairs, near_dup_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, threshold=0.6)
+    return near_dup_clusters(pairs)
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
@@ -1663,6 +1676,7 @@ QUERIES = {
     "contamination": q_contamination,
     "curate_docs": q_curate_docs,
     "events_sliding": q_events_sliding,
+    "dedup_clusters": q_dedup_clusters,
     "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
     "token_chunks": q_token_chunks,
     "length_histogram": q_length_histogram,
@@ -1848,6 +1862,36 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
         ORDER BY doc_a, doc_b
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT da AS a, db AS b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        ), edges AS (
+            SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
     """,
     "events_sliding": """
         WITH hourly AS (

@@ -841,3 +841,133 @@ def exact_jaccard_pairs(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def near_dup_clusters(
+    pairs: ray.data.Dataset,
+    max_iter: int = 30,
+) -> ray.data.Dataset:
+    """Collapse a near-duplicate PAIR set into clusters: (doc_id,
+    cluster_id) for every doc appearing in a pair, cluster_id = the
+    smallest doc_id in its connected component. This is the step that
+    turns candidate pairs into dedup ACTIONS (keep cluster_id, drop the
+    rest).
+
+    Distributed hash-to-min label propagation (Rastogi et al., ICDE'13):
+    labels start as each node's own id; every iteration ships each
+    node's current label to its neighbors and keeps the min. Converges
+    in O(log diameter) rounds for the shallow components near-dup graphs
+    produce. Each round is one hash-join + one groupby over the EDGE
+    table — O(E) work, never all-pairs — and the slim label table
+    (nodes-in-pairs only, not the corpus) is materialized per round to
+    stop lineage re-execution. Driver sees only per-round change counts.
+    """
+    from ray.data.aggregate import Min as _Min
+
+    from .joins import hash_join
+
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.chunked_array(
+                    [b.column("doc_a").combine_chunks(), b.column("doc_b").combine_chunks()]
+                ).combine_chunks(),
+                "dst": pa.chunked_array(
+                    [b.column("doc_b").combine_chunks(), b.column("doc_a").combine_chunks()]
+                ).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = (
+        edges.groupby("src")
+        .aggregate(_Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src"),
+                    "label": pc.min_element_wise(
+                        b.column("src"), b.column("nbr_min")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iter):
+        # ship each src's label to dst, take the min incoming per node
+        incoming = (
+            hash_join(edges, labels, "src", "node", ["label"])
+            .groupby("dst")
+            .aggregate(_Min("label", alias_name="in_min"))
+        )
+        new_labels = hash_join(
+            labels, incoming, "node", "dst", ["in_min"], how="left"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "label": pc.min_element_wise(
+                        b.column("label"),
+                        pc.fill_null(
+                            b.column("in_min"), pa.scalar(2**62, pa.int64())
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        # pointer doubling: label[v] ← min(label[v], label[label[v]]) —
+        # halves the label forest's depth each round, so convergence is
+        # O(log diameter) instead of O(diameter) (a long chain of
+        # near-identical docs would otherwise need diameter rounds)
+        lbl_of_lbl = new_labels.map_batches(
+            lambda b: b.rename_columns(["lnode", "llabel"]),
+            batch_format="pyarrow",
+        )
+        new_labels = hash_join(
+            new_labels, lbl_of_lbl, "label", "lnode", ["llabel"], how="left"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "label": pc.min_element_wise(
+                        b.column("label"),
+                        pc.fill_null(
+                            b.column("llabel"), pa.scalar(2**62, pa.int64())
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        changed = hash_join(
+            new_labels,
+            labels.map_batches(
+                lambda b: b.rename_columns(["node", "old_label"]),
+                batch_format="pyarrow",
+            ),
+            "node",
+            "node",
+            ["old_label"],
+        ).map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b.column("label"), b.column("old_label"))
+            ),
+            batch_format="pyarrow",
+        )
+        labels = new_labels
+        if changed.count() == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -332,3 +332,44 @@ class TestExactJaccard:
         )
         out = exact_jaccard_pairs(docs).to_pandas()
         assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNearDupClusters:
+    def test_components_collapse_to_min_id(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import near_dup_clusters
+
+        # chain 1-2-3, pair 10-11, triangle 20-21-22
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([1, 2, 10, 20, 20, 21], pa.int64()),
+                    "doc_b": pa.array([2, 3, 11, 21, 22, 22], pa.int64()),
+                }
+            )
+        )
+        out = near_dup_clusters(pairs).to_pandas().sort_values("doc_id")
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import near_dup_clusters
+
+        n = 40  # path graph: worst-case diameter for label propagation
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                    "doc_b": pa.array(list(range(1, n)), pa.int64()),
+                }
+            )
+        )
+        out = near_dup_clusters(pairs).to_pandas()
+        assert set(out["cluster_id"]) == {0}
+        assert len(out) == n
