@@ -82,7 +82,9 @@ def _normalize_str_ascii_fast(value: str) -> str:
 _VALID_NAME_CHARS = frozenset(string.ascii_lowercase + string.digits + "_")
 
 
-_SNAKE_DONE_RE = re.compile(r"^(?!_)[0-9a-z_]*(?<!_)$")
+# \Z, not $: "$" also matches before a TRAILING newline, which would let
+# "abc\n" skip normalization as already-canonical (hypothesis-found)
+_SNAKE_DONE_RE = re.compile(r"^(?!_)[0-9a-z_]*(?<!_)\Z")
 
 
 @_lru_cache(maxsize=16384)
