@@ -721,11 +721,15 @@ def exact_jaccard_pairs(
 
     Shape: docs → distinct (shingle, doc_id) rows → coarse-shard groupby
     on hash(shingle) emits intersection-count contributions per doc pair
-    → groupby(packed pair key) sums intersections → hash-join per-doc
-    set sizes onto both pair sides → vectorized jaccard + threshold.
-    Exactness requires every co-occurrence to be counted, so hot
-    shingles are NOT capped here — at corpus scale use the LSH variant
-    and reserve this op for verification slices.
+    (combined to unique (pair, count) within the shard before the
+    exchange) → groupby(packed pair key) sums intersections → hash-join
+    per-doc set sizes onto both pair sides → vectorized jaccard +
+    threshold. Exactness requires every co-occurrence to be counted, so
+    hot shingles are NOT capped here and pair GENERATION is
+    Σ C(|shingle group|, 2) — quadratic on hot shingles by definition.
+    At corpus scale use the LSH variant (``ngram_jaccard_pairs``) and
+    reserve this op for verification slices, which is also why it is
+    not in the bench suite.
     """
     from .joins import hash_join
 
@@ -778,17 +782,29 @@ def exact_jaccard_pairs(
             acc_a.append(grp[iu[0]])
             acc_b.append(grp[iu[1]])
         if not acc_a:
-            return pd.DataFrame({"pk": np.empty(0, dtype=np.int64)})
+            return pd.DataFrame(
+                {
+                    "pk": np.empty(0, dtype=np.int64),
+                    "cnt": np.empty(0, dtype=np.int64),
+                }
+            )
         a = np.concatenate(acc_a)
         b = np.concatenate(acc_b)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
-        return pd.DataFrame({"pk": (lo << np.int64(32)) | hi})
+        # within-shard combiner: hot shingles emit the same pair many
+        # times — collapse to (pk, count) BEFORE the exchange so the
+        # global aggregate sees unique pairs per shard, not raw
+        # co-occurrence rows (the difference is quadratic on hot keys)
+        pk, cnt = np.unique((lo << np.int64(32)) | hi, return_counts=True)
+        return pd.DataFrame({"pk": pk, "cnt": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum as _Sum
 
     pair_rows = shingles.repartition(num_shards).groupby("shard").map_groups(
         shard_pairs, batch_format="pandas"
     )
-    inter = pair_rows.groupby("pk").aggregate(Count(alias_name="inter"))
+    inter = pair_rows.groupby("pk").aggregate(_Sum("cnt", alias_name="inter"))
 
     def unpack(batch: pa.Table) -> pa.Table:
         pk = batch.column("pk").to_numpy(zero_copy_only=False)
