@@ -734,6 +734,20 @@ def exact_jaccard_pairs(
     from .joins import hash_join
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
+        # the pair key packs (doc_a, doc_b) into one int64 as
+        # (lo << 32) | hi — bijective only for ids in [0, 2^32); anything
+        # larger would silently merge/corrupt pair counts, so fail loudly
+        # here (corpora with wider ids should pre-map to a dense range)
+        raw = batch.column("doc_id")
+        if len(raw):
+            lo_hi = pc.min_max(raw)
+            lo_id, hi_id = lo_hi["min"].as_py(), lo_hi["max"].as_py()
+            if lo_id is not None and (lo_id < 0 or hi_id >= 1 << 32):
+                raise ValueError(
+                    "exact_jaccard_pairs requires 0 <= doc_id < 2**32 "
+                    f"(got range [{lo_id}, {hi_id}]); remap ids to a dense "
+                    "range before calling"
+                )
         ids, shs = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -807,11 +821,17 @@ def exact_jaccard_pairs(
     inter = pair_rows.groupby("pk").aggregate(_Sum("cnt", alias_name="inter"))
 
     def unpack(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        # unsigned view: ids in [2^31, 2^32) make the packed int64 negative
+        # (two's complement); an arithmetic >> would sign-extend doc_a
+        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
             {
-                "doc_a": pa.array(pk >> np.int64(32), type=pa.int64()),
-                "doc_b": pa.array(pk & np.int64(0xFFFFFFFF), type=pa.int64()),
+                "doc_a": pa.array(
+                    (pk >> np.uint64(32)).astype(np.int64), type=pa.int64()
+                ),
+                "doc_b": pa.array(
+                    (pk & np.uint64(0xFFFFFFFF)).astype(np.int64), type=pa.int64()
+                ),
                 "inter": batch.column("inter"),
             }
         )

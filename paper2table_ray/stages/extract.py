@@ -161,12 +161,19 @@ class SpanExtractor:
             if table_run:
                 tm = None
                 skip = False
-                is_first = table_no[0] == 0
+                run_no = table_no[0] + 1
                 if page_range is not None:
-                    run_no = table_no[0] + 1
                     if not (page_range[0] <= run_no <= page_range[1]):
                         skip = True
-                if norm is not None:
+                    # reference split_pages semantics (split_pages.py):
+                    # the selected pages are written to a temp PDF and
+                    # RENUMBERED 1..k before the inner (possibly mapped)
+                    # reader sees them — so any mapping window below is
+                    # window-relative, not global
+                    run_no = run_no - page_range[0] + 1
+                local_idx = run_no - 1
+                is_first = local_idx == 0
+                if not skip and norm is not None:
                     if norm["apply_to_all"]:
                         tm = norm["tables"][0]
                     elif norm["tables"] and norm["tables"][0].get("first_page"):
@@ -180,15 +187,14 @@ class SpanExtractor:
                         # warn-and-abort, document.py:85-90) — yield no
                         # tables. Here a "page" is a table run.
                         tm = norm["tables"][0]
-                        run_no = table_no[0] + 1
                         first = tm["first_page"]
                         last = tm.get("last_page") or first
                         if not (first <= run_no <= last):
                             skip = True
                         is_first = run_no == first
-                    elif table_no[0] < len(norm["tables"]):
+                    elif local_idx < len(norm["tables"]):
                         # windowless multi-table form: run i → tables[i]
-                        tm = norm["tables"][table_no[0]]
+                        tm = norm["tables"][local_idx]
                     else:
                         # reference mapped path reads ONLY mapped tables
                         # (document.py:80-123): unmapped runs are skipped

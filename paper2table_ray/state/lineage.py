@@ -37,6 +37,18 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def _write_lineage_json(lineage_dir: str, pid: int, rec: dict) -> None:
+    """Durable atomic lineage publish: close+fsync BEFORE the rename so a
+    crash can never expose a truncated file (json.dump on an unclosed
+    handle relies on CPython refcounting to flush — not a guarantee)."""
+    ltmp = os.path.join(lineage_dir, f"{pid:05d}.json.tmp")
+    with open(ltmp, "w") as f:
+        json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(ltmp, os.path.join(lineage_dir, f"{pid:05d}.json"))
+
+
 def partition_of(doc_id: str, num_partitions: int) -> int:
     h = int.from_bytes(
         hashlib.blake2b(doc_id.encode(), digest_size=8).digest(), "little"
@@ -59,7 +71,8 @@ class LineageSink:
         for name in os.listdir(self.lineage_dir):
             if name.endswith(".json"):
                 try:
-                    rec = json.load(open(os.path.join(self.lineage_dir, name)))
+                    with open(os.path.join(self.lineage_dir, name)) as f:
+                        rec = json.load(f)
                     if rec.get("status") == "ok":
                         done.add(int(rec["partition_id"]))
                 except (ValueError, KeyError):
@@ -70,7 +83,8 @@ class LineageSink:
         out = []
         for name in sorted(os.listdir(self.lineage_dir)):
             if name.endswith(".json"):
-                out.append(json.load(open(os.path.join(self.lineage_dir, name))))
+                with open(os.path.join(self.lineage_dir, name)) as f:
+                    out.append(json.load(f))
         return out
 
     # -- pipeline hooks ------------------------------------------------------
@@ -130,9 +144,7 @@ class LineageSink:
                 "wall_ms": int((time.perf_counter() - t0) * 1000),
                 "status": "ok",
             }
-            ltmp = os.path.join(lineage_dir, f"{pid:05d}.json.tmp")
-            json.dump(rec, open(ltmp, "w"))
-            os.replace(ltmp, os.path.join(lineage_dir, f"{pid:05d}.json"))
+            _write_lineage_json(lineage_dir, pid, rec)
             return pd.DataFrame([rec])
 
         summaries = ds.groupby("partition_id").map_groups(
@@ -272,9 +284,7 @@ def resumable_merge(
             "wall_ms": int((time.perf_counter() - t0) * 1000),
             "status": "ok",
         }
-        ltmp = os.path.join(lineage_dir, f"{pid:05d}.json.tmp")
-        json.dump(rec, open(ltmp, "w"))
-        os.replace(ltmp, os.path.join(lineage_dir, f"{pid:05d}.json"))
+        _write_lineage_json(lineage_dir, pid, rec)
         return rec
 
     refs, skipped = [], []

@@ -333,6 +333,48 @@ class TestExactJaccard:
         out = exact_jaccard_pairs(docs).to_pandas()
         assert len(out) == 0
 
+    def test_wide_doc_ids_round_trip(self):
+        """ids in [2^31, 2^32) make the packed int64 pair key negative;
+        the unsigned unpack must still round-trip them exactly."""
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import exact_jaccard_pairs
+
+        a, b = (1 << 31) + 5, (1 << 32) - 3
+        text = "one two three four five six"
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([a, b], pa.int64()),
+                    "text": pa.array([text, text], pa.string()),
+                }
+            )
+        )
+        out = exact_jaccard_pairs(docs, threshold=0.5).to_pandas()
+        assert len(out) == 1
+        assert int(out["doc_a"][0]) == a
+        assert int(out["doc_b"][0]) == b
+        assert out["jaccard"][0] == 1.0
+
+    def test_out_of_range_doc_ids_fail_loudly(self):
+        import pyarrow as pa
+        import ray.data
+
+        from paper2table_ray.stages.dedup import exact_jaccard_pairs
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1 << 32, 7], pa.int64()),
+                    "text": pa.array(["one two three", "one two three"]),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="2\\*\\*32|RayTaskError") as ei:
+            exact_jaccard_pairs(docs, threshold=0.5).to_pandas()
+        assert "2**32" in str(ei.value)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNearDupClusters:

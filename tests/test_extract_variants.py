@@ -451,6 +451,44 @@ class TestPageRange:
         out = _spans_df(extract_spans(self._three_run_doc()))
         assert (out["kind"] == "table").sum() == 3
 
+    def test_page_range_renumbers_runs_for_mapping_window(self):
+        # split_pages.py writes the selected pages to a temp PDF renumbered
+        # 1..k BEFORE the mapped reader runs, so a mapping window of
+        # first_page=1 combined with a CLI range (2, 3) selects the
+        # RANGE's first run (global run 2), not global run 1
+        cms = [
+            {"from_column_number": 0, "to_column_name": "vernacular_name"},
+            {"from_column_number": 1, "to_column_name": "scientific_name"},
+        ]
+        mapping = {
+            "tables": [
+                {
+                    "title": "Plants",
+                    "header_mode": "none",
+                    "first_page": 1,
+                    "last_page": 1,
+                    "column_mappings": cms,
+                }
+            ],
+            "citation": "A citation",
+        }
+        rows = []
+        for run in range(3):
+            rows.append(
+                ("table_row", CELL_SEP.join([f"Rose{run}", f"Rosa r{run}"]), "")
+            )
+            rows.append(("text", f"interlude {run} " + "z" * 30, ""))
+        docs = ray.data.from_arrow(_doc("docpr2", rows))
+        out = _spans_df(
+            extract_spans_mapped(
+                docs, {"docpr2": mapping}, config=ExtractConfig(page_range=(2, 3))
+            )
+        )
+        # window-relative run 1 == global run 2 → Rose1 extracted
+        assert out[out["kind"] == "row"]["text"].tolist() == [
+            CELL_SEP.join(["Rose1", "Rosa r1"])
+        ]
+
     def test_cli_page_range_suffix(self, tmp_path):
         # e2e through the CLI's 'path:first:last' syntax (M9 wired)
         import subprocess
