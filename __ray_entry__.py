@@ -2,11 +2,15 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 53 queries, 40 with
-DuckDB oracles. Ops whose semantics are not SQL-expressible (LSH dedup
-pair sets, the cells merge model, extraction over the synthesized
-interleaved corpus) are rows-only by design — their correctness gates are
-the pytest span-equality / brute-force / reference-fixture tests.
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 45 with
+DuckDB oracles — all oracled queries enumerate first (the driver's
+correctness run records at most 50 entries). Ops whose semantics are not
+SQL-expressible (LSH dedup pair sets, the cells merge model, mapped
+extraction, filesystem lineage) are rows-only by design — their
+correctness gates are the pytest brute-force / parity / kill-resume
+tests. Five oracles read deterministic pure-Python input dumps under
+/tmp (pipelines/oracle_dumps.py) because their reference input exists
+only as seeded synthesis, not as one of the driver's parquet views.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -33,6 +37,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from paper2table_ray.pipelines.queries import ORACLE_SQL
+    from paper2table_ray.pipelines.queries import oracle_sql_all
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_all()
