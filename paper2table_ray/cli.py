@@ -163,47 +163,74 @@ def cmd_tablestats(argv: List[str]) -> int:
     p.add_argument("-o", "--output", help="write JSON here (default stdout)")
     p.add_argument("--sort", choices=["none", "asc", "desc"], default="asc",
                    help="order the per-paper list by table count (O3)")
-    p.add_argument("--top", type=int, help="keep only the top N papers")
+    p.add_argument("--top", type=int, default=1000,
+                   help="keep only the top N papers in papers_by_tables "
+                        "(default 1000 — the list is driver-sized; 0 = "
+                        "unbounded, corpus-scale callers beware)")
     p.add_argument("--format", choices=["json", "text"], default="json",
                    help="text = the reference's human report layout")
     args = p.parse_args(argv)
     _ensure_ray()
     from .sources.tablesfile_json import read_resultsets
     from .stages.stats import (
-        collect_unique_columns,
         empty_papers,
-        format_stats,
+        fold_column_probes,
+        format_columns_section,
+        format_global_section,
+        format_paper_section,
         global_stats,
         paper_stats_dataset,
     )
 
-    cells = read_resultsets(args.resultsets).materialize()
-    per_paper = paper_stats_dataset(cells).materialize()
+    # ONE pass over the cells corpus: per-paper stats + the G7 column
+    # probe come out of the same group kernel; only the tiny per-paper
+    # table (O(papers) rows) is materialized, never the cells
+    cells = read_resultsets(args.resultsets)
+    per_paper = paper_stats_dataset(cells, with_column_probe=True).materialize()
     stats = global_stats(per_paper)
     stats["empty_papers"] = empty_papers(per_paper).count()
-    stats["columns"] = collect_unique_columns(cells)
+    stats["columns"] = fold_column_probes(per_paper)
     if args.sort == "none":
         ordered = per_paper
     else:
         ordered = per_paper.sort("tables", descending=(args.sort == "desc"))
+    ordered.context.execution_options.preserve_order = True
     if args.top:
-        ordered = ordered.limit(args.top)
+        ordered = ordered.limit(args.top)  # distributed top-k, bounded driver list
     stats["papers_by_tables"] = [
         {"doc_id": r["doc_id"], "source_uuid": r["source_uuid"], "tables": r["tables"]}
-        for r in ordered.select_columns(["doc_id", "source_uuid", "tables"]).take_all()
+        for batch in ordered.select_columns(
+            ["doc_id", "source_uuid", "tables"]
+        ).iter_batches(batch_format="pyarrow")
+        for r in batch.to_pylist()
     ]
-    if args.format == "text":
-        papers_stats = {
-            f"{r['doc_id']}.tables.json": r
-            for r in per_paper.sort("doc_id").take_all()
-        }
-        payload = format_stats(stats, papers_stats, stats.get("columns"))
-    else:
-        payload = json.dumps(stats, indent=2, default=str)
+
+    def sink(write):
+        if args.format == "text":
+            # stream per-paper sections batch by batch — the report is
+            # O(papers) lines and never assembled on the driver at once
+            write("\n".join(format_global_section(stats)))
+            by_doc = per_paper.sort("doc_id")
+            by_doc.context.execution_options.preserve_order = True
+            for batch in by_doc.iter_batches(batch_format="pyarrow"):
+                for r in batch.to_pylist():
+                    write("\n" + "\n".join(
+                        format_paper_section(f"{r['doc_id']}.tables.json", r)
+                    ))
+            cols_part = format_columns_section(stats.get("columns"))
+            if cols_part:
+                write("\n" + "\n".join(cols_part))
+        else:
+            write(json.dumps(stats, indent=2, default=str))
+
     if args.output:
-        open(args.output, "w").write(payload)
+        with open(args.output, "w") as f:
+            sink(f.write)
     else:
-        print(payload)
+        import sys as _sys
+
+        sink(_sys.stdout.write)
+        print()
     return 0
 
 
@@ -228,7 +255,7 @@ def cmd_table2html(argv: List[str]) -> int:
     p.add_argument("-o", "--output", required=True, help="output .html file")
     args = p.parse_args(argv)
     _ensure_ray()
-    from .pipelines.viewer import cells_to_viewer_html
+    from .pipelines.viewer import write_viewer_html
     from .sources.tablesfile_json import load_metadata, read_resultsets
 
     metadata = load_metadata(args.resultset) or {}
@@ -242,14 +269,16 @@ def cmd_table2html(argv: List[str]) -> int:
     for s in metadata.get("sources") or []:
         if isinstance(s, dict) and s.get("uuid") and s.get("reader"):
             uuid_to_reader[s["uuid"]] = s["reader"]
-    html = cells_to_viewer_html(
+    # streaming sink: per-doc sections append to the file as they arrive;
+    # the driver never holds the whole rendered page
+    write_viewer_html(
         read_resultsets([args.resultset]),
+        args.output,
         title=os.path.basename(os.path.normpath(args.resultset)),
         metadata=metadata,
         settings=settings,
         uuid_to_reader=uuid_to_reader,
     )
-    open(args.output, "w", encoding="utf-8").write(html)
     print(args.output)
     return 0
 

@@ -37,10 +37,18 @@ def _read(sf_dir: str, name: str, columns=None):
 _SYNTH_CELLS_CACHE: dict = {}
 
 
+_SYNTH_CELLS_MATERIALIZE_CAP = 100_000  # docs
+
+
 def _synth_cells(sf_dir: str, runs: int = 3):
-    """Shared, session-cached synthetic resultsets (materialized once):
-    four queries consume the same cells corpus — regenerating it per query
-    would re-run the python-heavy synthesis 4×. Small (≈50 MB at sf0.1)."""
+    """Shared, session-cached synthetic resultsets — a BENCH/DRIVER-ONLY
+    helper (no production pipeline consumes it; pipelines/merge.py takes
+    its cells Dataset from the caller). Four queries share the corpus, so
+    it materializes once instead of re-running the python-heavy synthesis
+    4× — but ONLY below ``_SYNTH_CELLS_MATERIALIZE_CAP`` docs (cheap
+    parquet-metadata probe): above the cap the plan stays lazy and each
+    consumer streams, trading re-synthesis for never pinning a
+    corpus-scale intermediate in the object store."""
     from ..sources.resultsets import synth_resultsets_dataset
 
     # the Ray job id is part of the key: after a ray.shutdown()+re-init in
@@ -52,9 +60,13 @@ def _synth_cells(sf_dir: str, runs: int = 3):
     key = (sf_dir, runs, job_id)
     if key not in _SYNTH_CELLS_CACHE:
         _SYNTH_CELLS_CACHE.clear()
-        _SYNTH_CELLS_CACHE[key] = synth_resultsets_dataset(
-            sf_dir, runs=runs
-        ).materialize()
+        ds = synth_resultsets_dataset(sf_dir, runs=runs)
+        n_docs = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+        if n_docs <= _SYNTH_CELLS_MATERIALIZE_CAP:
+            ds = ds.materialize()
+        _SYNTH_CELLS_CACHE[key] = ds
     return _SYNTH_CELLS_CACHE[key]
 
 

@@ -371,16 +371,13 @@ main { flex: 1; padding: 20px; min-width: 0; overflow-x: hidden; }
 """
 
 
-def build_viewer_html(
+def _viewer_head(
     papers: List[Tuple[str, dict]],
-    title: str = "tables",
-    metadata: Optional[dict] = None,
-    settings: Optional[dict] = None,
-    uuid_to_reader: Optional[dict] = None,
-    paper_sections: Optional[List[str]] = None,
+    title: str,
+    metadata: Optional[dict],
+    settings: Optional[dict],
 ) -> str:
-    """Assemble the full page. ``paper_sections``: pre-rendered section
-    HTML per paper (the distributed path); rendered inline otherwise."""
+    """Everything before the paper sections (shell + TOC + metadata)."""
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>",
         f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>",
@@ -395,16 +392,33 @@ def build_viewer_html(
             parts.extend(build_paper_sources_html(sources))
     if settings:
         parts.extend(build_settings_html(settings))
+    return "".join(parts)
+
+
+def _viewer_tail() -> str:
+    return f"</main><script>{_TOC_JS}</script></body></html>"
+
+
+def build_viewer_html(
+    papers: List[Tuple[str, dict]],
+    title: str = "tables",
+    metadata: Optional[dict] = None,
+    settings: Optional[dict] = None,
+    uuid_to_reader: Optional[dict] = None,
+    paper_sections: Optional[List[str]] = None,
+) -> str:
+    """Assemble the full page. ``paper_sections``: pre-rendered section
+    HTML per paper (the distributed path); rendered inline otherwise."""
     if paper_sections is None:
         paper_sections = [
             build_paper_section(i, name, tf, uuid_to_reader)
             for i, (name, tf) in enumerate(papers)
         ]
-    parts.extend(paper_sections)
-    parts.append("</main>")
-    parts.append(f"<script>{_TOC_JS}</script>")
-    parts.append("</body></html>")
-    return "".join(parts)
+    return (
+        _viewer_head(papers, title, metadata, settings)
+        + "".join(paper_sections)
+        + _viewer_tail()
+    )
 
 
 def cells_to_viewer_html(
@@ -414,10 +428,40 @@ def cells_to_viewer_html(
     settings: Optional[dict] = None,
     uuid_to_reader: Optional[dict] = None,
 ) -> str:
-    """Distributed viewer: per-paper section HTML renders inside the doc
-    groupby (coarse-shard); the driver assembles only the shell + TOC
-    (needs each paper's fragment list — carried as a small per-paper
-    manifest, not the cells)."""
+    """Distributed viewer returning ONE string: per-paper section HTML
+    renders inside the doc groupby (coarse-shard); the driver assembles
+    the shell + TOC from a small per-paper manifest. The returned string
+    is inherently driver-sized — use :func:`write_viewer_html` (the
+    streaming file sink) for corpus-scale inputs; this stays for
+    report-sized resultsets and tests."""
+    pieces = (
+        _render_pieces(cells, uuid_to_reader)
+        .to_pandas()
+        .sort_values(["doc_id", "name"])
+        .reset_index(drop=True)
+    )
+    import json as _json
+
+    sections, toc_papers = [], []
+    for i, row in pieces.iterrows():
+        sections.append(row["html"].replace("paper-__PID__", f"paper-{i}"))
+        manifest = _json.loads(row["toc_json"])
+        toc_papers.append(
+            (manifest["name"], {"tables": _toc_tables(manifest["fragments"])})
+        )
+    return build_viewer_html(
+        toc_papers,
+        title=title,
+        metadata=metadata,
+        settings=settings,
+        uuid_to_reader=uuid_to_reader,
+        paper_sections=sections,
+    )
+
+
+def _render_pieces(cells: ray.data.Dataset, uuid_to_reader: Optional[dict]):
+    """cells → Dataset[doc_id, name, html, toc_json]: one pre-rendered
+    section per (doc, source), produced inside the doc groupby."""
     from ..stages.shuffle import groupby_apply
 
     def per_doc(group: pa.Table) -> pd.DataFrame:
@@ -461,38 +505,53 @@ def cells_to_viewer_html(
             }
         )
 
+    return groupby_apply(cells, "doc_id", per_doc, batch_format="pyarrow")
+
+
+def write_viewer_html(
+    cells: ray.data.Dataset,
+    output_path: str,
+    title: str = "tables",
+    metadata: Optional[dict] = None,
+    settings: Optional[dict] = None,
+    uuid_to_reader: Optional[dict] = None,
+) -> int:
+    """Streaming viewer FILE sink (byte-identical to
+    ``cells_to_viewer_html`` output): sections render distributed; the
+    driver holds only (a) the slim TOC manifest — O(papers) name/page
+    rows, read via ``select_columns`` so section HTML never ships for the
+    TOC pass — and (b) one batch of rendered HTML at a time, appended to
+    the file as it streams in sorted order. Returns the paper count."""
     import json as _json
 
-    pieces = (
-        groupby_apply(cells, "doc_id", per_doc, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["doc_id", "name"])
-        .reset_index(drop=True)
-    )
-    sections, toc_papers = [], []
-    for i, row in pieces.iterrows():
-        sections.append(
-            row["html"]
-            .replace("paper-__PID__", f"paper-{i}")
-        )
-        manifest = _json.loads(row["toc_json"])
-        # rebuild a minimal tablesfile-shaped dict for build_toc
-        toc_papers.append(
-            (
-                manifest["name"],
-                {
-                    "tables": _toc_tables(manifest["fragments"]),
-                },
+    pieces = _render_pieces(cells, uuid_to_reader).materialize()
+    ordered = pieces.sort(["doc_id", "name"])
+    # both consuming loops below depend on stable sorted block order
+    ordered.context.execution_options.preserve_order = True
+
+    # pass 1 (slim): TOC manifest only
+    toc_papers = []
+    for batch in ordered.select_columns(["toc_json"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for tj in batch.column("toc_json").to_pylist():
+            manifest = _json.loads(tj)
+            toc_papers.append(
+                (manifest["name"], {"tables": _toc_tables(manifest["fragments"])})
             )
-        )
-    return build_viewer_html(
-        toc_papers,
-        title=title,
-        metadata=metadata,
-        settings=settings,
-        uuid_to_reader=uuid_to_reader,
-        paper_sections=sections,
-    )
+
+    # pass 2: stream sections to the file in the same sorted order
+    i = 0
+    with open(output_path, "w", encoding="utf-8") as f:
+        f.write(_viewer_head(toc_papers, title, metadata, settings))
+        for batch in ordered.select_columns(["html"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for html in batch.column("html").to_pylist():
+                f.write(html.replace("paper-__PID__", f"paper-{i}"))
+                i += 1
+        f.write(_viewer_tail())
+    return i
 
 
 def _toc_tables(fragments: List[dict]) -> List[dict]:

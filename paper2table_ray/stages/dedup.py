@@ -251,6 +251,7 @@ def minhash_lsh_pairs(
     broadcast_pair_limit: int = 2_000_000,
     persist_threshold: int = 2_000_000,
     sig_spill_dir: Optional[str] = None,
+    n_docs_hint: Optional[int] = None,
 ) -> ray.data.Dataset:
     """documents (doc_id, text) → near-duplicate pairs
     (doc_a, doc_b, jaccard), distinct, doc_a < doc_b.
@@ -280,18 +281,35 @@ def minhash_lsh_pairs(
     # ``persist_threshold`` docs it is written to parquet and re-read
     # column-pruned per consumer, so 10^9+-doc signature tables never
     # have to live in (or spill out of) plasma.
-    n_docs = docs.count()
+    # spill-mode decision WITHOUT executing the upstream pipeline an
+    # extra time: caller hint first, then source metadata (free for
+    # bare reads, None for derived pipelines), else materialize-and-
+    # count (the count is free on materialized data; a late spill then
+    # still moves the table out of plasma for the three consumers).
+    # 10^9-doc callers should pass ``n_docs_hint``.
+    n_docs = n_docs_hint
+    if n_docs is None:
+        try:
+            n_docs = docs._meta_count()
+        except Exception:
+            n_docs = None
     persist_dir = None
-    if n_docs > persist_threshold:
+
+    def _spill(ds):
         # multi-node: this directory is read back by tasks on OTHER
         # nodes — it must resolve to shared storage (state/scratch.py)
         from ..state.scratch import scratch_dir
 
-        persist_dir = scratch_dir("p2t_minhash_sigs_", sig_spill_dir)
-        feats.write_parquet(persist_dir)
-        feats = ray.data.read_parquet(persist_dir)
+        d = scratch_dir("p2t_minhash_sigs_", sig_spill_dir)
+        ds.write_parquet(d)
+        return d, ray.data.read_parquet(d)
+
+    if n_docs is not None and n_docs > persist_threshold:
+        persist_dir, feats = _spill(feats)
     else:
         feats = feats.materialize()
+        if n_docs is None and feats.count() > persist_threshold:
+            persist_dir, feats = _spill(feats)
 
     band_rows = feats.map_batches(
         lambda b: lsh_band_rows(b, bands, rows_per_band, num_shards),

@@ -120,8 +120,33 @@ def compute_paper_stats(tablesfile: dict) -> dict:
     }
 
 
-def paper_stats_dataset(cells: ray.data.Dataset) -> ray.data.Dataset:
-    """cells → one stats row per (doc_id, source_uuid='merged' or any)."""
+def _column_probe(tablesfile: dict) -> List[dict]:
+    """G7 probe for one tablesfile (tablestats/__main__.py:73-87): the
+    FIRST row of the first non-empty fragment per table, semantic columns
+    only, with their inferred types — in table order."""
+    out = []
+    for table in tablesfile["tables"]:
+        for frag in table["fragments"]:
+            if not frag["rows"]:
+                continue
+            row = frag["rows"][0]
+            for col, val in row["cells"].items():
+                if rm.is_semantic_column(col):
+                    out.append({"column": col, "inferred": infer_type(val)})
+            break  # the reference probes one fragment per table
+    return out
+
+
+def paper_stats_dataset(
+    cells: ray.data.Dataset, with_column_probe: bool = False
+) -> ray.data.Dataset:
+    """cells → one stats row per (doc_id, source_uuid='merged' or any).
+
+    ``with_column_probe=True`` additionally emits a ``columns_probe``
+    JSON column per paper (the G7 first-row type probe), so the
+    tablestats CLI derives per-paper stats AND the unique-columns map
+    from ONE pass over the cells corpus instead of two."""
+    import json as _json
 
     def per_doc(group: pa.Table) -> pd.DataFrame:
         records = table_to_row_records(group)
@@ -133,6 +158,8 @@ def paper_stats_dataset(cells: ray.data.Dataset) -> ray.data.Dataset:
             stats = compute_paper_stats(tf)
             stats["doc_id"] = doc_id
             stats["source_uuid"] = uuid
+            if with_column_probe:
+                stats["columns_probe"] = _json.dumps(_column_probe(tf))
             out.append(stats)
         return pd.DataFrame(out)
 
@@ -207,12 +234,28 @@ def accumulate_global(paper_stats_list: List[dict]) -> dict:
     return out
 
 
-def format_stats(
-    stats: dict,
-    papers_stats: Optional[Dict[str, dict]] = None,
-    columns: Optional[Dict[str, str]] = None,
-) -> str:
-    """Text report (tablestats/__main__.py:122-168 layout)."""
+def fold_column_probes(per_paper: ray.data.Dataset) -> Dict[str, str]:
+    """Fold per-paper G7 probes (the ``columns_probe`` JSON column from
+    ``paper_stats_dataset(with_column_probe=True)``) into the global
+    unique-columns map — first type inferred for a name wins, in
+    (doc_id, source_uuid) order. Streams batches; never ``take_all``."""
+    import json as _json
+
+    columns: Dict[str, str] = {}
+    sorted_ds = per_paper.sort(["doc_id", "source_uuid"])
+    sorted_ds.context.execution_options.preserve_order = True
+    for batch in sorted_ds.select_columns(["columns_probe"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for probe in batch.column("columns_probe").to_pylist():
+            for entry in _json.loads(probe or "[]"):
+                if entry["column"] not in columns:
+                    columns[entry["column"]] = entry["inferred"]
+    return columns
+
+
+def format_global_section(stats: dict) -> List[str]:
+    """Global half of the text report (tablestats/__main__.py:122-145)."""
     lines = ["Global Stats:"]
     lines.append(f"  Papers: {stats['papers']}")
     lines.append(f"  Tables: {stats['tables']}")
@@ -232,23 +275,46 @@ def format_stats(
         )
     lines.append("")
     lines.append("Per-Paper Stats:")
+    return lines
+
+
+def format_paper_section(paper: str, ps: dict) -> List[str]:
+    """One paper's block of the text report (tablestats/__main__.py:146-160)."""
+    lines = [f"- {paper}:"]
+    lines.append(f"    Tables: {ps['tables']}")
+    lines.append(f"    Fragments: {ps['fragments']}")
+    lines.append(f"    Rows: {ps['rows']}")
+    lines.append(f"    Unique rows: {ps['unique_rows']}")
+    lines.append(f"    Columns: {ps['columns']}")
+    lines.append(f"    Rows with agreement > 1: {ps['rows_with_agreement']}")
+    if ps.get("agreement_percentage") is not None:
+        lines.append(
+            f"    Agreement percentage: {ps['agreement_percentage']:.2f}%"
+        )
+    return lines
+
+
+def format_columns_section(columns: Optional[Dict[str, str]]) -> List[str]:
+    if not columns:
+        return []
+    lines = ["", "Unique Columns:"]
+    for name, typ in columns.items():
+        lines.append(f"  {name}:{typ}")
+    return lines
+
+
+def format_stats(
+    stats: dict,
+    papers_stats: Optional[Dict[str, dict]] = None,
+    columns: Optional[Dict[str, str]] = None,
+) -> str:
+    """Text report (tablestats/__main__.py:122-168 layout). Driver-side
+    convenience over the section helpers; the CLI streams the same
+    sections incrementally for corpus-sized inputs."""
+    lines = format_global_section(stats)
     for paper, ps in (papers_stats or {}).items():
-        lines.append(f"- {paper}:")
-        lines.append(f"    Tables: {ps['tables']}")
-        lines.append(f"    Fragments: {ps['fragments']}")
-        lines.append(f"    Rows: {ps['rows']}")
-        lines.append(f"    Unique rows: {ps['unique_rows']}")
-        lines.append(f"    Columns: {ps['columns']}")
-        lines.append(f"    Rows with agreement > 1: {ps['rows_with_agreement']}")
-        if ps.get("agreement_percentage") is not None:
-            lines.append(
-                f"    Agreement percentage: {ps['agreement_percentage']:.2f}%"
-            )
-    if columns:
-        lines.append("")
-        lines.append("Unique Columns:")
-        for name, typ in columns.items():
-            lines.append(f"  {name}:{typ}")
+        lines.extend(format_paper_section(paper, ps))
+    lines.extend(format_columns_section(columns))
     return "\n".join(lines)
 
 

@@ -160,3 +160,23 @@ class TestDistributedViewer:
             assert f"id='paper-{i}'" in html
             assert f"<h3>{d}</h3>" in html
         assert '<nav id="toc">' in html
+
+    def test_write_viewer_html_streaming_sink_matches_string_path(self, tmp_path):
+        # the streaming file sink must be byte-identical to the
+        # driver-assembled string (same sections, same TOC, same order)
+        import glob
+
+        from paper2table_ray.pipelines.viewer import write_viewer_html
+        from paper2table_ray.sources.tablesfile_json import read_resultsets
+
+        dirs = sorted(glob.glob("/root/reference/tests/data/demo_resultsets/*/"))
+        cells = read_resultsets(dirs)
+        expected = cells_to_viewer_html(
+            read_resultsets(dirs), title="demo", metadata={"datetime": "x"}
+        )
+        out = tmp_path / "v.html"
+        n = write_viewer_html(
+            cells, str(out), title="demo", metadata={"datetime": "x"}
+        )
+        assert n > 0
+        assert out.read_text(encoding="utf-8") == expected
