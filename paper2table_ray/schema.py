@@ -206,28 +206,46 @@ def _decode_cells_column(ca: pa.Array) -> List[dict]:
     entry as a (key, [dict]) tuple before we re-dict it). Children are
     sliced to the needed range first, so per-group slices stay O(group).
     Offset arithmetic is base-relative (``offsets[0]`` need not be 0)."""
+    import numpy as np
+
     n = len(ca)
     if n == 0:
         return []
-    offsets = ca.offsets.to_numpy()
-    k_start, k_end = int(offsets[0]), int(offsets[n])
+    off_np = ca.offsets.to_numpy()
+    k_start, k_end = int(off_np[0]), int(off_np[n])
     keys = ca.keys.slice(k_start, k_end - k_start).to_pylist()
     items = ca.items  # list<struct<value, agreement_level>>
-    io = items.offsets.to_numpy()[k_start : k_end + 1] if k_end > k_start else []
     if k_end > k_start:
-        v_start, v_end = int(io[0]), int(io[-1])
-        structs = items.values.slice(v_start, v_end - v_start)
+        io_np = items.offsets.to_numpy()[k_start : k_end + 1]
+        v_start = int(io_np[0])
+        structs = items.values.slice(v_start, int(io_np[-1]) - v_start)
         vals = structs.field("value").to_pylist()
-        lvls = structs.field("agreement_level").to_pylist()
+        lvls_np = structs.field("agreement_level").to_numpy(
+            zero_copy_only=False
+        )
+        lvls = lvls_np.tolist()
+        # prefix counts of plain-string pairs → O(1) "is this whole row
+        # plain 1-pair cells?" test per row (the overwhelming majority)
+        plain_cum = np.concatenate(
+            ([0], np.cumsum(lvls_np == PLAIN_STRING_SENTINEL))
+        ).tolist()
+        io = (io_np - v_start).tolist()
     else:
-        v_start = 0
-        vals, lvls = [], []
+        vals, lvls, plain_cum, io = [], [], [0], [0]
+    # python-list offsets: numpy scalar indexing dominates the loop cost
+    offs = (off_np - k_start).tolist()
     out = []
     for r in range(n):
-        o1, o2 = offsets[r] - k_start, offsets[r + 1] - k_start
+        o1, o2 = offs[r], offs[r + 1]
+        s, e = io[o1], io[o2]
+        if e - s == o2 - o1 and plain_cum[e] - plain_cum[s] == e - s:
+            # fast path: every cell a 1-pair plain string → one C-level
+            # dict(zip(...)) instead of per-key branching
+            out.append(dict(zip(keys[o1:o2], vals[s:e])))
+            continue
         cells = {}
         for k in range(o1, o2):
-            i1, i2 = io[k] - v_start, io[k + 1] - v_start
+            i1, i2 = io[k], io[k + 1]
             # inline decode_cell: the 1-pair plain-string/None case is
             # the overwhelming majority — skip the tuple boxing for it
             if i2 - i1 == 1:
@@ -257,13 +275,11 @@ def table_to_row_records(table: pa.Table) -> List[dict]:
     if isinstance(cells_col, pa.ChunkedArray):
         cells_col = cells_col.combine_chunks()
     cells_list = _decode_cells_column(cells_col)
-    n = table.num_rows
-    out = []
-    for i in range(n):
-        rec = {name: data[name][i] for name in names}
-        rec["cells"] = cells_list[i]
-        out.append(rec)
-    return out
+    # C-level row assembly: zip(*cols) + dict(zip(names, row)) beats a
+    # per-row python dict-comprehension over column lookups
+    names_t = tuple(names) + ("cells",)
+    cols = [data[name] for name in names] + [cells_list]
+    return [dict(zip(names_t, row)) for row in zip(*cols)]
 
 
 def record_to_row(rec: dict) -> Row:
