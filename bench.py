@@ -130,23 +130,134 @@ def run_bench() -> dict:
     return result
 
 
+def run_shuffle_job() -> dict:
+    """One leg of the SHUFFLE-BEARING scaling audit: synth resultsets
+    (REPEAT-replicated doc ids) → LineageSink.write — the one placement
+    shuffle (groupby partition_id) — → resumable_merge over the bucketed
+    store (one task per partition file). Partition count is FIXED (64)
+    across legs so only parallelism varies, never job shape."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from paper2table_ray.pipelines.merge import MergeConfig
+    from paper2table_ray.sources.resultsets import synth_resultsets_batch
+    from paper2table_ray.state.lineage import LineageSink, resumable_merge
+    from paper2table_ray.state.scratch import scratch_dir
+
+    repeat = max(1, REPEAT)
+
+    def cells_ds():
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        ).repartition(4 * NUM_CPUS)
+
+        def synth(batch):
+            tables = []
+            for rep in range(repeat):
+                t = synth_resultsets_batch(batch, seed=42 + rep)
+                if rep:
+                    idx = t.schema.get_field_index("doc_id")
+                    t = t.set_column(
+                        idx,
+                        "doc_id",
+                        pc.binary_join_element_wise(
+                            t.column("doc_id"), pa.scalar(f"r{rep}"), "~"
+                        ),
+                    )
+                tables.append(t)
+            return pa.concat_tables(tables)
+
+        return docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+
+    n_src = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    root = scratch_dir("p2t_scalejob_")
+    try:
+        # warm-up (untimed): worker spawn + imports on a small slice
+        warm = scratch_dir("p2t_scalejob_warm_", root)
+        wsink = LineageSink(os.path.join(warm, "store"), num_partitions=8,
+                            stage="cells")
+        wcells = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        ).limit(64).map_batches(
+            synth_resultsets_batch, batch_format="pyarrow"
+        )
+        wsink.write(wsink.add_partition_column(wcells))
+        resumable_merge(
+            os.path.join(warm, "store"), os.path.join(warm, "merged"),
+            MergeConfig(column_agreement=True),
+        )
+
+        t0 = time.perf_counter()
+        store = os.path.join(root, "store")
+        sink = LineageSink(store, num_partitions=64, stage="cells")
+        sink.write(sink.add_partition_column(cells_ds()))
+        summary = resumable_merge(
+            store, os.path.join(root, "merged"),
+            MergeConfig(column_agreement=True),
+        )
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    n_docs = n_src * repeat
+    result = {
+        "metric": "shuffle-bearing pipeline wall time (synth cells -> "
+                  "placement shuffle write -> bucketed resumable merge)",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "partitions": int(len(summary)),
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling() -> dict:
     """N vs 4N audit: the flagship over a replicated corpus (large enough
     to be CPU-bound — repeat=1 finishes in ~4s where fixed startup costs,
-    not throughput, set the wall time) in FRESH processes."""
+    not throughput, set the wall time) in FRESH processes.
+
+    ``--scaling-shuffle`` runs the same pair protocol over the
+    shuffle-bearing composed pipeline (see ``run_shuffle_job``)."""
+    shuffle_mode = "--scaling-shuffle" in sys.argv
 
     def run(ncpu: int) -> dict:
+        extra = (
+            ["--shuffle-job"] if shuffle_mode else []
+        )
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            RAY_GRAFT_REPEAT=os.environ.get("RAY_GRAFT_REPEAT", "128"),
+            RAY_GRAFT_REPEAT=os.environ.get(
+                "RAY_GRAFT_REPEAT", "8" if shuffle_mode else "128"
+            ),
             GRAFT_FLAGSHIP_ONLY="1",
             # adjacent-pairing is the scaling audit's noise strategy;
             # single-shot legs keep the pairs adjacent in time
             GRAFT_BENCH_RUNS="1",
         )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), *extra],
             env=env,
             capture_output=True,
             text=True,
@@ -223,8 +334,10 @@ def run_stats() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-shuffle" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--shuffle-job" in sys.argv:
+        print(json.dumps(run_shuffle_job()))
     elif "--stats" in sys.argv:
         run_stats()
     else:

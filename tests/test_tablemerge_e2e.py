@@ -88,6 +88,21 @@ class TestPaperFilterAndColumns:
         # estimated_population appears as "1,200" (str) or bare int rows
         assert cols.get("estimated_population") in ("str", "int")
 
+    def test_single_pass_probe_matches_collect_unique_columns(self):
+        # the tablestats CLI folds the G7 probe out of the per-paper
+        # stats pass; it must agree with the standalone two-pass op
+        from paper2table_ray.stages.stats import (
+            collect_unique_columns,
+            fold_column_probes,
+            paper_stats_dataset,
+        )
+
+        cells = read_resultsets(REF_RESULTSETS)
+        two_pass = collect_unique_columns(cells)
+        per_paper = paper_stats_dataset(cells, with_column_probe=True)
+        one_pass = fold_column_probes(per_paper)
+        assert one_pass == two_pass
+
     def test_infer_type(self):
         from paper2table_ray.stages.stats import infer_type
 
