@@ -2,13 +2,13 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 45 with
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 46 with
 DuckDB oracles — all oracled queries enumerate first (the driver's
 correctness run records at most 50 entries). Ops whose semantics are not
-SQL-expressible (LSH dedup pair sets, the cells merge model, mapped
+SQL-expressible (the SimHash pair set, the cells merge model, mapped
 extraction, filesystem lineage) are rows-only by design — their
 correctness gates are the pytest brute-force / parity / kill-resume
-tests. Five oracles read deterministic pure-Python input dumps under
+tests. Six oracles read deterministic pure-Python input dumps under
 /tmp (pipelines/oracle_dumps.py) because their reference input exists
 only as seeded synthesis, not as one of the driver's parquet views.
 

@@ -445,8 +445,14 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs (rows-only). Returns the STREAMING
-    Dataset like simhash_pairs — at 100 TB the near-dup pair set can be
+    """MinHash-LSH near-duplicate pairs, DuckDB-ORACLED against the exact
+    word-trigram Jaccard pair set at the same threshold: with
+    ``exact_verify=True`` the stage's output is exactly {candidate pairs
+    with true jaccard ≥ t}, and on the driver's fixed sf0.01 corpus the
+    seeded 16×8 band config has recall 1.0 (verified), so LSH output ≡
+    the SQL-computable exact set — the oracle pins BOTH the banding's
+    recall and the verify kernel. Returns the STREAMING Dataset like
+    simhash_pairs — at 100 TB the near-dup pair set can be
     ~corpus-sized, so it must never materialize on the driver; the
     rounding runs inside map_batches."""
     from ..stages.dedup import minhash_lsh_pairs
@@ -1716,11 +1722,11 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "asof_event_order": q_asof_event_order,
     "range_join_order_events": q_range_join_order_events,
-    # --- rows-only by design (5): LSH pair sets (brute-force-checked in
-    # pytest), the dynamic-column cells merge model (153-case parity
-    # suite), mapped extraction (reference reader edge-case ports),
-    # filesystem lineage (kill/resume tests) ---
     "minhash_pairs": q_minhash_pairs,
+    # --- rows-only by design (4): the SimHash pair set (brute-force-
+    # checked in pytest), the dynamic-column cells merge model (153-case
+    # parity suite), mapped extraction (reference reader edge-case
+    # ports), filesystem lineage (kill/resume tests) ---
     "simhash_pairs": q_simhash_pairs,
     "merge_cells": q_merge_cells,
     "extract_mapped": q_extract_mapped,
@@ -1872,6 +1878,34 @@ ORACLE_SQL = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    # same exact-jaccard derivation at the LSH stage's threshold (0.5):
+    # minhash_lsh_pairs(exact_verify=True) emits {candidates with true
+    # jaccard >= t}, and the seeded band config has recall 1.0 on the
+    # driver's fixed sf0.01 corpus — deterministic, so the exact set IS
+    # the expected output (see q_minhash_pairs)
+    "minhash_pairs": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)
+            WHERE len(ws) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ORDER BY doc_a, doc_b
     """,
     "jaccard_pairs_exact": """
         WITH toks AS (
