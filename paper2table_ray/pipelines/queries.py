@@ -1674,9 +1674,9 @@ def q_dedup_clusters(sf_dir: str):
 # entries (observed in round 3: the file had exactly 50 rows for a
 # 53-query contract, silently dropping the LAST three — all oracled).
 # The registry is therefore exactly 50 queries, ALL DuckDB-oracled ones
-# first, the five rows-only ones last.
+# first, the four rows-only ones last.
 QUERIES = {
-    # --- DuckDB-oracled (45) ---
+    # --- DuckDB-oracled (46) ---
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
     "top_orders": q_top_orders,
