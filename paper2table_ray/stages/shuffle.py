@@ -109,3 +109,35 @@ def groupby_apply(
         .groupby(_SHARD_COL)
         .map_groups(run_shard, batch_format="pyarrow")
     )
+
+
+def groupby_apply_table(
+    ds: ray.data.Dataset,
+    keys: Union[str, List[str]],
+    table_fn: Callable,
+    *,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Coarse-shard groupby handing each shard's WHOLE table to
+    ``table_fn`` (which owns per-group semantics internally, with the
+    shard guaranteed to contain every row of each of its key groups).
+    For kernels that amortize decode/encode across a shard's groups —
+    e.g. the cells merge decodes the shard once and encodes once instead
+    of per doc (pipelines/merge.py::merge_cells_table)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        shard = (_key_hash(batch, key_list) % np.uint64(num_shards)).astype(
+            np.int32
+        )
+        return batch.append_column(_SHARD_COL, pa.array(shard))
+
+    def run_shard(shard_tbl: pa.Table) -> pa.Table:
+        return table_fn(shard_tbl.drop_columns([_SHARD_COL]))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .repartition(num_shards)
+        .groupby(_SHARD_COL)
+        .map_groups(run_shard, batch_format="pyarrow")
+    )

@@ -245,9 +245,7 @@ def resumable_merge(
     """
     import ray
 
-    from ..pipelines.merge import MergeConfig, merge_doc_records
-    from ..schema import CELLS_SCHEMA, rows_to_table, table_to_row_records
-    from ..stages.shuffle import apply_fn_per_group
+    from ..pipelines.merge import MergeConfig, merge_cells_table
 
     cfg = config or MergeConfig()
     sink = LineageSink(output_dir, stage="merge")
@@ -260,18 +258,12 @@ def resumable_merge(
         if name.startswith("part-") and name.endswith(".parquet")
     )
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        records = table_to_row_records(group)
-        out = merge_doc_records(records, cfg)
-        if not out:
-            return CELLS_SCHEMA.empty_table()
-        return rows_to_table(out)
-
     @ray.remote
     def merge_partition(path: str, pid: int) -> dict:
         t0 = time.perf_counter()
         tbl = pq.read_table(path)
-        merged = apply_fn_per_group(tbl, ["doc_id"], merge_group, "pyarrow")
+        # whole-partition kernel: one decode + one encode per partition
+        merged = merge_cells_table(tbl, cfg)
         final = os.path.join(output_dir_, f"part-{pid:05d}.parquet")
         tmp = final + ".tmp"
         pq.write_table(merged, tmp)
