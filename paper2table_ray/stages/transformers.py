@@ -92,6 +92,21 @@ class FilterTitleRowsTransformer:
         return {"rows": head + fragment["rows"][3:], "page": fragment["page"]}
 
     def is_title_row(self, row: Row) -> bool:
+        # cheap gate: the concatenated title text starts with the FIRST
+        # non-empty cell's text, and every title keyword (figure|fig.|
+        # table|figura|tabla) starts with f/t — most rows exit here
+        # without the full per-cell scan (this transformer is always-on
+        # in the merge load path, the composed pipeline's hot kernel)
+        first = None
+        for val in row["cells"].values():
+            if not rm.is_empty_value(val):
+                first = val
+                break
+        if first is None:
+            return False
+        lead = rm.first_nonempty_text(first).lstrip()
+        if not lead or lead[0] not in "fFtT":
+            return False
         non_empty = {
             col: val
             for col, val in row["cells"].items()
