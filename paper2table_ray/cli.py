@@ -53,9 +53,14 @@ def cmd_extract(argv: List[str]) -> int:
     from .stages.extract import ExtractConfig
     from .state.lineage import LineageSink
 
+    from .sources.io import read_table as _io_read
+    from .sources.io import write_table as _io_write
+
     input_path, page_range = parse_page_range(args.input)
     config = ExtractConfig(page_range=page_range) if page_range else None
-    docs = ray.data.read_parquet(input_path)
+    # storage seam: Lance dataset dirs when the package is available,
+    # parquet otherwise (sources/io.py)
+    docs = _io_read(input_path)
     if args.resume:
         sink = LineageSink(args.output, num_partitions=args.partitions)
         docs = sink.filter_pending(sink.add_partition_column(docs))
@@ -75,7 +80,7 @@ def cmd_extract(argv: List[str]) -> int:
         summary = sink.write(sink.add_partition_column(spans))
         print(summary.to_string(index=False))
     else:
-        spans.write_parquet(args.output)
+        _io_write(spans, args.output)
         print(f"wrote spans to {args.output}")
     return 0
 

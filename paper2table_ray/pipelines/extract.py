@@ -166,11 +166,14 @@ def extract_pipeline(
     output_path: Optional[str] = None,
 ) -> ray.data.Dataset:
     """End-to-end: synthesize interleaved docs from the sf dir, extract
-    ordered spans; optionally write partitioned parquet."""
+    ordered spans; optionally write to the storage seam (Lance when
+    available, partitioned parquet otherwise — sources/io.py)."""
     docs = synth_docs_dataset(sf_dir, seed=seed)
     spans = extract_spans(docs, config=config)
     if output_path:
-        spans.write_parquet(output_path)
+        from ..sources.io import write_table
+
+        write_table(spans, output_path)
     return spans
 
 
