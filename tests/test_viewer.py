@@ -180,3 +180,19 @@ class TestDistributedViewer:
         )
         assert n > 0
         assert out.read_text(encoding="utf-8") == expected
+
+    def test_write_viewer_html_empty_corpus(self, tmp_path):
+        import ray.data
+
+        from paper2table_ray.pipelines.viewer import write_viewer_html
+        from paper2table_ray.schema import CELLS_SCHEMA
+
+        out = tmp_path / "empty.html"
+        n = write_viewer_html(
+            ray.data.from_arrow(CELLS_SCHEMA.empty_table()), str(out)
+        )
+        assert n == 0
+        html = out.read_text(encoding="utf-8")
+        assert html.startswith("<!doctype html>") and html.endswith(
+            "</body></html>"
+        )
