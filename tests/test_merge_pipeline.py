@@ -90,6 +90,31 @@ class TestMergePipeline:
         # agreement actually accumulated somewhere
         assert (got["agreement_level"] > 1).any()
 
+    def test_merge_pipeline_empty_input(self):
+        from paper2table_ray.schema import CELLS_SCHEMA
+
+        merged = merge_pipeline(
+            ray.data.from_arrow(CELLS_SCHEMA.empty_table()), MergeConfig()
+        )
+        assert merged.count() == 0
+
+    def test_merge_cells_table_kernel_equals_per_doc(self):
+        # the whole-shard kernel must reproduce the per-doc reduce exactly
+        import pyarrow.parquet as pq
+
+        from paper2table_ray.pipelines.merge import merge_cells_table
+
+        src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).slice(
+            0, 30
+        )
+        cells_table = synth_resultsets_batch(src)
+        cfg = MergeConfig(column_agreement=True)
+        got = _records_to_comparable(
+            table_to_row_records(merge_cells_table(cells_table, cfg))
+        )
+        expected = _records_to_comparable(_local_merge_all(cells_table, cfg))
+        pd.testing.assert_frame_equal(got, expected)
+
     def test_merge_pipeline_from_sf(self):
         cells = synth_resultsets_dataset(SF)
         merged = merge_pipeline(cells, MergeConfig())
