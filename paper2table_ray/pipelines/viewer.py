@@ -524,8 +524,11 @@ def write_viewer_html(
     the file as it streams in sorted order. Returns the paper count."""
     import json as _json
 
-    pieces = _render_pieces(cells, uuid_to_reader).materialize()
-    ordered = pieces.sort(["doc_id", "name"])
+    # materialize AFTER the sort: both consuming passes below then read
+    # the same sorted blocks instead of re-executing the sort
+    ordered = _render_pieces(cells, uuid_to_reader).sort(
+        ["doc_id", "name"]
+    ).materialize()
     # both consuming loops below depend on stable sorted block order
     ordered.context.execution_options.preserve_order = True
 
