@@ -248,8 +248,11 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
+            # shuffle mode defaults to 24 (120k docs): at repeat=8 the
+            # 16-cpu leg finishes in ~8s and fixed ramp dominates the
+            # ratio (measured 0.61 vs 0.73 at steady state — BASELINE.md)
             RAY_GRAFT_REPEAT=os.environ.get(
-                "RAY_GRAFT_REPEAT", "8" if shuffle_mode else "128"
+                "RAY_GRAFT_REPEAT", "24" if shuffle_mode else "128"
             ),
             GRAFT_FLAGSHIP_ONLY="1",
             # adjacent-pairing is the scaling audit's noise strategy;
