@@ -334,3 +334,54 @@ class TestFoldProperties:
 
         a, b = pair
         assert ascii_fold(a) != ascii_fold(b)
+
+
+# --- whole-shard merge kernel ≡ per-doc reduce -------------------------------
+
+
+corpus_strategy = st.dictionaries(
+    st.sampled_from(["doc_a", "doc_b", "doc_c"]),
+    st.dictionaries(
+        st.sampled_from(["run-aaaa", "run-bbbb"]),
+        tablesfile_strategy,
+        min_size=1,
+        max_size=2,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus_strategy)
+def test_merge_cells_table_matches_per_doc_reduce(corpus):
+    """pipelines/merge.merge_cells_table (one decode + one encode per
+    shard) must equal the per-doc merge_doc_records reduce on arbitrary
+    multi-doc multi-source cells — every ColumnValue shape included."""
+    from paper2table_ray.pipelines.merge import (
+        MergeConfig,
+        merge_cells_table,
+        merge_doc_records,
+    )
+
+    records = []
+    for doc_id, runs in corpus.items():
+        for uuid, tf in runs.items():
+            records.extend(tablesfile_to_records(doc_id, uuid, tf))
+    cfg = MergeConfig(column_agreement=True)
+
+    expected = []
+    by_doc = {}
+    for rec in records:
+        by_doc.setdefault(rec["doc_id"], []).append(rec)
+    for doc_id in sorted(by_doc):
+        expected.extend(merge_doc_records(by_doc[doc_id], cfg))
+
+    got = table_to_row_records(merge_cells_table(rows_to_table(records), cfg))
+
+    assert len(got) == len(expected)
+    for a, b in zip(got, expected):
+        assert a["doc_id"] == b["doc_id"]
+        assert a["cells"] == b["cells"]
+        assert a["agreement_level"] == b["agreement_level"]
+        assert (a["sources"] or []) == (b["sources"] or [])
