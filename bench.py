@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "revenue_by_brand",
     "user_sessions",
     "merge_cells",
+    "curate_docs",  # composed curation funnel (quality → lang → dedup)
 ]
 
 

@@ -28,6 +28,7 @@ import ray.data
 from ..stages.dedup import exact_dedup
 from ..stages.joins import hash_join
 from ..stages.textqc import LanguageId, Redactor, add_quality_score, add_text_features
+from ..stages.workercache import worker_cached
 
 
 def curate_pipeline(
@@ -49,7 +50,9 @@ def curate_pipeline(
     computed over the pending slice alone."""
     ds = docs.map_batches(add_text_features, batch_format="pyarrow")
     ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
-    ds = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 8))
+    # cheap state (stopword sets) → task pool + worker-local cache, not an
+    # actor pool (pool spawn dominates short runs; stages/workercache.py)
+    ds = ds.map_batches(worker_cached(LanguageId), batch_format="pyarrow")
 
     lang_arr = pa.array(langs, pa.string()) if langs else None
     minq = float(min_quality)
@@ -76,7 +79,7 @@ def curate_pipeline(
         )
 
     if redact:
-        ds = ds.map_batches(Redactor, batch_format="pyarrow", concurrency=(1, 8))
+        ds = ds.map_batches(worker_cached(Redactor), batch_format="pyarrow")
 
     return ds
 

@@ -409,11 +409,16 @@ def q_lang_id(sf_dir: str):
     to earliest of en > es > de > fr; zero hits → 'und') as a CASE chain —
     same pattern quality_scores uses for the single en set."""
     from ..stages.textqc import LanguageId
+    from ..stages.workercache import worker_cached
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = (
         ds.map_batches(
-            LanguageId, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+            # cheap state → task pool + worker-local cache (no actor
+            # pool spin-up; stages/workercache.py)
+            worker_cached(LanguageId),
+            batch_format="pyarrow",
+            batch_size=256,
         )
         .map_batches(
             lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
@@ -1443,8 +1448,10 @@ def q_redact_pii(sf_dir: str):
             }
         )
 
+    from ..stages.workercache import worker_cached
+
     out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
-        Redactor, batch_format="pyarrow", concurrency=(1, 4)
+        worker_cached(Redactor), batch_format="pyarrow"
     )
 
     def digest(batch: pa.Table) -> pa.Table:

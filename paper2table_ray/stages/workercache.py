@@ -1,0 +1,28 @@
+"""Worker-local stage cache: init-once-per-worker WITHOUT actor pools.
+
+Ray reuses worker processes across tasks, so a module-level cache gives a
+plain ``map_batches(fn)`` TASK stage the same init-once guarantee as an
+actor pool — minus the pool's spawn+import latency (~10s for a 32-pool on
+this box, BASELINE.md). Use for CHEAP state (compiled regexes, stopword
+sets); keep true actor pools for genuinely expensive state (models,
+external processes). Same pattern as pipelines/extract.py's
+``_extract_batch_cached``.
+"""
+
+from __future__ import annotations
+
+_CACHE: dict = {}
+
+
+def worker_cached(cls, /, **kwargs):
+    """→ a batch fn holding a worker-local ``cls(**kwargs)`` instance.
+    ``kwargs`` must be hashable (they key the cache)."""
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        inst = _CACHE.get(key)
+        if inst is None:
+            inst = _CACHE[key] = cls(**kwargs)
+        return inst(batch)
+
+    return fn
