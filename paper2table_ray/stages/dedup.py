@@ -263,17 +263,22 @@ def minhash_lsh_pairs(
     verify. ``jaccard`` is exact (true shingle-set overlap) when
     ``exact_verify`` else the signature estimate.
     """
+    from .workercache import worker_cached
+
     rows_per_band = num_perm // bands
+    # MinHasher state (permutation coefficient arrays) is cheap → task
+    # pool + worker-local cache instead of an actor pool (no spin-up;
+    # stages/workercache.py). ``concurrency`` is kept for signature
+    # compatibility; Ray sizes the task pool itself.
     feats = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "shingle_k": shingle_k,
-            "keep_shingles": exact_verify,
-        },
+        worker_cached(
+            MinHasher,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            keep_shingles=exact_verify,
+        ),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency,
     )
     # consumed 3× (band rows + both join sides): persist the compact
     # signature table once instead of re-hashing the corpus per consumer

@@ -291,37 +291,62 @@ def media_manifest_dataset(sf_dir: str):
     )
 
 
-def image_features(media_rows, target_size: int = 32, concurrency=(1, 4)):
-    """MEDIA_SCHEMA rows → image features (actor pool; small batches —
-    payload-heavy rows, see module docstring)."""
+def _feature_stage(
+    media_rows, cls, ctor_kwargs, batch_size, use_actors, concurrency
+):
+    """Stage wiring shared by the three media ops: the deterministic stub
+    backends are CHEAP state → default task pool + worker-local cache
+    (stages/workercache.py, no pool spin-up); ``use_actors=True`` is the
+    shape for REAL codec backends (expensive decoder init)."""
+    if use_actors:
+        return media_rows.map_batches(
+            cls,
+            fn_constructor_kwargs=ctor_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    from .workercache import worker_cached
+
     return media_rows.map_batches(
+        worker_cached(cls, **ctor_kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def image_features(
+    media_rows, target_size: int = 32, concurrency=(1, 4), use_actors=False
+):
+    """MEDIA_SCHEMA rows → image features (small batches — payload-heavy
+    rows, see module docstring)."""
+    return _feature_stage(
+        media_rows,
         ImageFeatureExtractor,
-        fn_constructor_kwargs={"target_size": target_size},
-        batch_format="pyarrow",
-        batch_size=16,
-        concurrency=concurrency,
+        {"target_size": target_size},
+        16,
+        use_actors,
+        concurrency,
     )
 
 
-def audio_features(media_rows, concurrency=(1, 4)):
+def audio_features(media_rows, concurrency=(1, 4), use_actors=False):
     """MEDIA_SCHEMA rows → audio features (duration/RMS/zero-crossings)."""
-    return media_rows.map_batches(
-        AudioFeatureExtractor,
-        batch_format="pyarrow",
-        batch_size=16,
-        concurrency=concurrency,
+    return _feature_stage(
+        media_rows, AudioFeatureExtractor, {}, 16, use_actors, concurrency
     )
 
 
-def video_frames(media_rows, stride: int = 5, concurrency=(1, 4)):
+def video_frames(media_rows, stride: int = 5, concurrency=(1, 4), use_actors=False):
     """MEDIA_SCHEMA rows → per-sampled-frame features (flat_map shape:
     one output row per frame)."""
-    return media_rows.map_batches(
+    return _feature_stage(
+        media_rows,
         VideoFrameSampler,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=8,
-        concurrency=concurrency,
+        {"stride": stride},
+        8,
+        use_actors,
+        concurrency,
     )
 
 
