@@ -106,12 +106,14 @@ def lsh_bucketed_topk(
     q_code = int(indexer.code(q.reshape(1, -1))[0])
     probes = {q_code} | {q_code ^ (1 << b) for b in range(n_bits)}
 
+    from .workercache import worker_cached
+
+    # cheap state (a dim x n_bits projection matrix) -> task pool with a
+    # worker-local instance, no actor-pool spin-up (stages/workercache.py)
     coded = embeddings.map_batches(
-        SignLSHIndexer,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+        worker_cached(SignLSHIndexer, dim=dim, n_bits=n_bits, seed=seed),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
     )
     probe_arr = pa.array(sorted(probes), type=pa.int64())
 
@@ -406,12 +408,13 @@ def ivf_topk(
     probe_arr = pa.array(sorted(int(p) for p in probes), type=pa.int32())
     cent_ref = ray.put(cent)
 
+    from .workercache import worker_cached
+
+    # centroids ride a ray.put ref (hashable) -> worker-local assigner
     coded = embeddings.map_batches(
-        IVFAssigner,
-        fn_constructor_kwargs={"centroids": cent_ref},
+        worker_cached(IVFAssigner, centroids=cent_ref),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
     )
 
     def filter_probes(batch: pa.Table) -> pa.Table:
