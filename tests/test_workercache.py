@@ -15,6 +15,7 @@ class Counting:
 
 
 def test_one_instance_per_key():
+    wc._CACHE.clear()
     Counting.instances = 0
     fn = wc.worker_cached(Counting, tag="a")
     assert fn(1) == ("a", 1)
@@ -23,6 +24,7 @@ def test_one_instance_per_key():
 
 
 def test_distinct_kwargs_distinct_instances():
+    wc._CACHE.clear()
     Counting.instances = 0
     fa = wc.worker_cached(Counting, tag="a")
     fb = wc.worker_cached(Counting, tag="b")
