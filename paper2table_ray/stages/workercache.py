@@ -12,6 +12,10 @@ external processes). Same pattern as pipelines/extract.py's
 from __future__ import annotations
 
 _CACHE: dict = {}
+# bounded: distinct kwargs (e.g. a fresh ray.put ObjectRef per IVF query)
+# would otherwise accumulate instances — and pin their plasma objects —
+# for the worker's lifetime
+_MAX_ENTRIES = 8
 
 
 def worker_cached(cls, /, **kwargs):
@@ -22,6 +26,8 @@ def worker_cached(cls, /, **kwargs):
     def fn(batch):
         inst = _CACHE.get(key)
         if inst is None:
+            while len(_CACHE) >= _MAX_ENTRIES:
+                _CACHE.pop(next(iter(_CACHE)))  # evict oldest (dicts are ordered)
             inst = _CACHE[key] = cls(**kwargs)
         return inst(batch)
 

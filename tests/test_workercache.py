@@ -34,3 +34,11 @@ def test_distinct_kwargs_distinct_instances():
     fa2 = wc.worker_cached(Counting, tag="a")
     fa2(0)
     assert Counting.instances == 2
+
+
+def test_cache_is_bounded():
+    wc._CACHE.clear()
+    Counting.instances = 0
+    for i in range(wc._MAX_ENTRIES + 5):
+        wc.worker_cached(Counting, tag=f"t{i}")(0)
+    assert len(wc._CACHE) <= wc._MAX_ENTRIES
