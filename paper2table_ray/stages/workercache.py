@@ -24,11 +24,17 @@ def worker_cached(cls, /, **kwargs):
     key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
 
     def fn(batch):
-        inst = _CACHE.get(key)
+        # resolve the cache through the module at CALL time: cloudpickle
+        # pickles closures by value and would otherwise snapshot the
+        # driver's _CACHE contents into every serialized task fn
+        from paper2table_ray.stages import workercache as _wc
+
+        cache = _wc._CACHE
+        inst = cache.get(key)
         if inst is None:
-            while len(_CACHE) >= _MAX_ENTRIES:
-                _CACHE.pop(next(iter(_CACHE)))  # evict oldest (dicts are ordered)
-            inst = _CACHE[key] = cls(**kwargs)
+            while len(cache) >= _MAX_ENTRIES:
+                cache.pop(next(iter(cache)))  # evict oldest (dicts are ordered)
+            inst = cache[key] = cls(**kwargs)
         return inst(batch)
 
     return fn
