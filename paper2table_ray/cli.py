@@ -36,6 +36,13 @@ def cmd_extract(argv: List[str]) -> int:
     p.add_argument("--windowed", action="store_true", help="split_pages-style fan-out")
     p.add_argument("--window-spans", type=int, default=256)
     p.add_argument("--mappings", help="mapping cache dir (hybrid mode)")
+    p.add_argument("--force-mapping-generation", action="store_true",
+                   help="replan and overwrite cached mappings (reference "
+                        "paper2table --force-mapping-generation)")
+    p.add_argument("-p", "--column-names-hints",
+                   help="comma/ws-separated header hints (reference -p)")
+    p.add_argument("--column-names-hints-path",
+                   help="file of header hints (# comments allowed)")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed partitioned write with lineage + skip")
     p.add_argument("--partitions", type=int, default=64)
@@ -56,8 +63,19 @@ def cmd_extract(argv: List[str]) -> int:
     from .sources.io import read_table as _io_read
     from .sources.io import write_table as _io_write
 
+    from .functions.text import parse_hints
+
     input_path, page_range = parse_page_range(args.input)
-    config = ExtractConfig(page_range=page_range) if page_range else None
+    hint_text = args.column_names_hints or ""
+    if args.column_names_hints_path:
+        with open(args.column_names_hints_path, encoding="utf-8") as f:
+            hint_text = (hint_text + "\n" + f.read()).strip()
+    cfg_kwargs = {}
+    if page_range:
+        cfg_kwargs["page_range"] = page_range
+    if hint_text:
+        cfg_kwargs["hints"] = tuple(parse_hints(hint_text))
+    config = ExtractConfig(**cfg_kwargs) if cfg_kwargs else None
     # storage seam: Lance dataset dirs when the package is available,
     # parquet otherwise (sources/io.py)
     docs = _io_read(input_path)
@@ -67,7 +85,9 @@ def cmd_extract(argv: List[str]) -> int:
     if args.mappings:
         # mapping side stays a Dataset end-to-end (in-task cache IO;
         # extract_spans_mapped size-gates broadcast vs doc_id shard join)
-        mappings = plan_mappings_ds(docs, cache_dir=args.mappings)
+        mappings = plan_mappings_ds(
+            docs, cache_dir=args.mappings, force=args.force_mapping_generation
+        )
         spans = extract_spans_mapped(docs, mappings, config=config)
     elif args.windowed:
         spans = extract_spans_windowed(

@@ -257,6 +257,7 @@ def plan_mappings_ds(
     docs: ray.data.Dataset,
     cache_dir: Optional[str] = None,
     client_factory=None,
+    force: bool = False,
 ) -> ray.data.Dataset:
     """Hybrid-reader analogue (SURVEY.md S6, readers/hybrid.py:68-108):
     an expensive planner produces a per-doc ``TablesMapping`` ONCE, cached
@@ -305,7 +306,9 @@ def plan_mappings_ds(
         for doc_id, spans in zip(
             batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
         ):
-            if cache_dir:
+            if cache_dir and not force:
+                # force=True is --force-mapping-generation: replan and
+                # overwrite cached mappings (reference __main__.py flag)
                 path = os.path.join(cache_dir, f"{doc_id}.mapping.json")
                 try:
                     with open(path) as f:

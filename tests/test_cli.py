@@ -75,6 +75,74 @@ class TestCliFlows:
         # planner cache files were written in-task
         assert len(list(cache.glob("*.mapping.json"))) > 0
 
+    def test_extract_force_mapping_generation(self, tmp_path):
+        # reference --force-mapping-generation: replan + overwrite cache
+        import json as _json
+
+        import ray.data
+
+        from paper2table_ray.pipelines.extract import synth_docs_dataset
+
+        docs_dir = tmp_path / "docs"
+        synth_docs_dataset("/root/testdata/sf0.001").write_parquet(str(docs_dir))
+        cache = tmp_path / "mappings"
+        out1 = tmp_path / "s1"
+        assert main(["extract", str(docs_dir), "-o", str(out1),
+                     "--mappings", str(cache)]) == 0
+        a_file = sorted(cache.glob("*.mapping.json"))[0]
+        original = a_file.read_text()
+        # poison the cached mapping; a plain rerun must TRUST the cache
+        a_file.write_text(_json.dumps({"tables": [], "citation": "posioned"}))
+        out2 = tmp_path / "s2"
+        assert main(["extract", str(docs_dir), "-o", str(out2),
+                     "--mappings", str(cache)]) == 0
+        assert "posioned" in a_file.read_text()
+        # --force-mapping-generation replans and overwrites it
+        out3 = tmp_path / "s3"
+        assert main(["extract", str(docs_dir), "-o", str(out3),
+                     "--mappings", str(cache),
+                     "--force-mapping-generation"]) == 0
+        assert a_file.read_text() == original
+
+    def test_extract_column_names_hints_flag(self, tmp_path):
+        # reference -p: hints drive header-row detection
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from paper2table_ray.schema import DOC_SCHEMA
+        from paper2table_ray.stages.extract import CELL_SEP
+        import pyarrow as pa
+
+        spans = [
+            {"kind": "table_row", "text": CELL_SEP.join(["widget", "krakkle"]),
+             "media_ref": "", "offset": 0},
+            {"kind": "table_row", "text": CELL_SEP.join(["a", "b"]),
+             "media_ref": "", "offset": 1},
+        ]
+        tbl = pa.Table.from_arrays(
+            [pa.array(["dhint"]), pa.array([spans], DOC_SCHEMA.field("spans").type)],
+            schema=DOC_SCHEMA,
+        )
+        docs_dir = tmp_path / "docs"
+        docs_dir.mkdir()
+        pq.write_table(tbl, str(docs_dir / "d.parquet"))
+
+        def kinds(out_dir):
+            t = ray.data.read_parquet(str(out_dir)).to_pandas()
+            return t.sort_values("span_idx")["kind"].tolist()
+
+        out_default = tmp_path / "o1"
+        assert main(["extract", str(docs_dir), "-o", str(out_default)]) == 0
+        # 'widget'/'krakkle' are not default hints → both rows are data
+        assert kinds(out_default).count("row") == 2
+
+        out_hinted = tmp_path / "o2"
+        assert main(["extract", str(docs_dir), "-o", str(out_hinted),
+                     "-p", "krakkle, something_else"]) == 0
+        # hinted → row 0 promoted to the table header
+        k = kinds(out_hinted)
+        assert k.count("row") == 1 and "table" in k
+
     def test_filenorm_plan_and_apply(self, tmp_path):
         d = tmp_path / "files"
         d.mkdir()
