@@ -90,24 +90,11 @@ def groupby_apply(
     concatenated outputs. ``fn`` gets a ``pa.Table`` (batch_format=
     "pyarrow") or ``pd.DataFrame`` and may return either type."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
-
-    def stamp(batch: pa.Table) -> pa.Table:
-        shard = (_key_hash(batch, key_list) % np.uint64(num_shards)).astype(
-            np.int32
-        )
-        return batch.append_column(_SHARD_COL, pa.array(shard))
-
-    def run_shard(shard_tbl: pa.Table) -> Union[pa.Table, pd.DataFrame]:
-        tbl = shard_tbl.drop_columns([_SHARD_COL])
-        return apply_fn_per_group(tbl, key_list, fn, batch_format)
-
-    return (
-        ds.map_batches(stamp, batch_format="pyarrow")
-        # ensure the groupby's sort has ≥num_shards blocks to emit — with
-        # one input block every shard would run serially in a single task
-        .repartition(num_shards)
-        .groupby(_SHARD_COL)
-        .map_groups(run_shard, batch_format="pyarrow")
+    return groupby_apply_table(
+        ds,
+        key_list,
+        lambda tbl: apply_fn_per_group(tbl, key_list, fn, batch_format),
+        num_shards=num_shards,
     )
 
 
@@ -132,11 +119,13 @@ def groupby_apply_table(
         )
         return batch.append_column(_SHARD_COL, pa.array(shard))
 
-    def run_shard(shard_tbl: pa.Table) -> pa.Table:
+    def run_shard(shard_tbl: pa.Table) -> Union[pa.Table, pd.DataFrame]:
         return table_fn(shard_tbl.drop_columns([_SHARD_COL]))
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow")
+        # ensure the groupby's sort has ≥num_shards blocks to emit — with
+        # one input block every shard would run serially in a single task
         .repartition(num_shards)
         .groupby(_SHARD_COL)
         .map_groups(run_shard, batch_format="pyarrow")
