@@ -85,19 +85,31 @@ def to_values_with_agreement(value: rm.ColumnValue) -> List[dict]:
     return value
 
 
-def merge_columns_without_agreement(left: Row, right: Row) -> Dict[str, rm.ColumnValue]:
-    """Left-biased dict union (fragments_builder.py:13-17)."""
+def merge_columns_without_agreement(
+    left: Row, right: Row, left_normalized: bool = False
+) -> Dict[str, rm.ColumnValue]:
+    """Left-biased dict union (fragments_builder.py:13-17).
+
+    ``left_normalized``: the caller guarantees ``left``'s cells are already
+    the output of ``rm.normalize_row`` — normalization is idempotent
+    (property-tested), so re-normalizing would only burn a dict rebuild.
+    """
     merged = dict(rm.normalize_row(right)["cells"])
-    merged.update(rm.normalize_row(left)["cells"])
+    merged.update(
+        left["cells"] if left_normalized else rm.normalize_row(left)["cells"]
+    )
     return merged
 
 
-def merge_columns_with_agreement(left: Row, right: Row) -> Dict[str, rm.ColumnValue]:
+def merge_columns_with_agreement(
+    left: Row, right: Row, left_normalized: bool = False
+) -> Dict[str, rm.ColumnValue]:
     """Per-column multiset union with summed agreement levels
     (fragments_builder.py:20-37)."""
     column_values: Dict[str, Dict[str, int]] = {}
-    for row in (left, right):
-        for column_name, column_value in rm.normalize_row(row)["cells"].items():
+    for row, normalized in ((left, left_normalized), (right, False)):
+        cells = row["cells"] if normalized else rm.normalize_row(row)["cells"]
+        for column_name, column_value in cells.items():
             values = column_values.setdefault(column_name, {})
             for entry in to_values_with_agreement(column_value):
                 value = entry["value"]
@@ -113,15 +125,16 @@ def merge_rows(
     right: Row,
     agreement=None,
     column_agreement: bool = False,
+    left_normalized: bool = False,
 ) -> Row:
     """fragments_builder.py:40-59."""
     if agreement is None:
         agreement = SimpleCountAgreement()
     agreement_level = agreement.calculate_level(left, right)
     if column_agreement:
-        cells = merge_columns_with_agreement(left, right)
+        cells = merge_columns_with_agreement(left, right, left_normalized)
     else:
-        cells = merge_columns_without_agreement(left, right)
+        cells = merge_columns_without_agreement(left, right, left_normalized)
     left_sources = left["sources"] or []
     right_sources = right["sources"] or []
     sources = list(dict.fromkeys(left_sources + right_sources)) or None
@@ -147,14 +160,19 @@ class TableFragmentBuilder:
         self.column_agreement = column_agreement
         self.page = initial_fragment["page"]
         do_agreement = agreement is not None
-        self.rows = [
-            {
-                **rm.normalize_row(row, do_agreement),
-                "sources": [initial_uuid] if initial_uuid else None,
-                "row_idx": i,
-            }
-            for i, row in enumerate(initial_fragment["rows"])
-        ]
+        self._do_agreement = do_agreement
+        sources = [initial_uuid] if initial_uuid else None
+        rows = []
+        for i, row in enumerate(initial_fragment["rows"]):
+            # normalize_row already returns a fresh dict — stamp it in
+            # place instead of {**row, ...}-copying a second one (this
+            # kernel's allocation rate is the composed-pipeline scaling
+            # limiter, BASELINE.md round 4)
+            n = rm.normalize_row(row, do_agreement)
+            n["sources"] = sources
+            n["row_idx"] = i
+            rows.append(n)
+        self.rows = rows
 
     def next_left_rows(self) -> List[Row]:
         rows = self.rows
@@ -162,23 +180,28 @@ class TableFragmentBuilder:
         return list(rows)
 
     def append_skipped(self, rows: List[Row], source_uuid: Optional[str]):
+        sources = [source_uuid] if source_uuid else None
         for skipped in rows:
-            stamped = {
-                **skipped,
-                "sources": [source_uuid] if source_uuid else None,
-            }
-            self._append(stamped)
+            n = rm.normalize_row(skipped, self._do_agreement)
+            n["sources"] = sources
+            self.rows.append(n)
 
     def append_unmatched(self, row: Row):
-        self._append(row)
+        # ``row`` is always a row this builder previously normalized
+        # (init or a prior append) — normalization is idempotent, so
+        # re-normalizing would only re-alloc the identical dict
+        self.rows.append(row)
 
     def merge_and_append(self, left: Row, right: Row):
-        self._append(
+        # merge_rows output cells are built from normalized cells and its
+        # agreement_level is always set → already _append-normal form
+        self.rows.append(
             merge_rows(
                 left,
                 right,
                 agreement=self.agreement,
                 column_agreement=self.column_agreement,
+                left_normalized=True,
             )
         )
 
@@ -189,7 +212,7 @@ class TableFragmentBuilder:
         }
 
     def _append(self, row: Row):
-        self.rows.append(rm.normalize_row(row, self.agreement is not None))
+        self.rows.append(rm.normalize_row(row, self._do_agreement))
 
 
 # --- merger (tablesfile_merger.py) ------------------------------------------

@@ -88,8 +88,11 @@ class FilterTitleRowsTransformer:
     (fragment_transformer.py:38-64)."""
 
     def transform_fragment(self, fragment: Fragment) -> Fragment:
-        head = [r for r in fragment["rows"][:3] if not self.is_title_row(r)]
-        return {"rows": head + fragment["rows"][3:], "page": fragment["page"]}
+        rows = fragment["rows"]
+        if not any(self.is_title_row(r) for r in rows[:3]):
+            return fragment  # identity: no list/dict rebuild in the hot kernel
+        head = [r for r in rows[:3] if not self.is_title_row(r)]
+        return {"rows": head + rows[3:], "page": fragment["page"]}
 
     def is_title_row(self, row: Row) -> bool:
         # cheap gate: the concatenated title text starts with the FIRST
@@ -181,10 +184,11 @@ class FilterEmptyRowsTransformer:
     """fragment_transformer.py:136-142."""
 
     def transform_fragment(self, fragment: Fragment) -> Fragment:
-        return {
-            "rows": [r for r in fragment["rows"] if not rm.row_is_empty(r)],
-            "page": fragment["page"],
-        }
+        rows = fragment["rows"]
+        kept = [r for r in rows if not rm.row_is_empty(r)]
+        if len(kept) == len(rows):
+            return fragment  # identity fast path (no empty rows — common)
+        return {"rows": kept, "page": fragment["page"]}
 
 
 class NormalizePunctuationTransformer:
@@ -508,6 +512,9 @@ def drop_empty_columns(tablesfile: dict) -> dict:
                 for col in all_cols
                 if all(rm.is_empty_value(r["cells"].get(col)) for r in frag["rows"])
             }
+            if not empty_cols:
+                fragments.append(frag)  # identity: nothing to drop
+                continue
             rows = [
                 rm.make_row(
                     {k: v for k, v in r["cells"].items() if k not in empty_cols},
