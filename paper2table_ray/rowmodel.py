@@ -77,6 +77,25 @@ def row_is_empty(row: Row) -> bool:
     return all(is_empty_value(v) for v in row["cells"].values())
 
 
+def row_is_empty_normalized(row: Row) -> bool:
+    """``row_is_empty`` for rows already in ``normalize_row`` form:
+    normalized values are fixed points of ``normalize_column_value``, so
+    emptiness is plain string truthiness — no normalize chain, no cache
+    lookups (the merge builder's ``build()`` filter is on the composed
+    pipeline's hot path)."""
+    for v in row["cells"].values():
+        if v is None:
+            continue
+        if isinstance(v, str):
+            if v:
+                return False
+        else:
+            for e in v:
+                if e["value"]:
+                    return False
+    return True
+
+
 def get_agreement_level(row: Row) -> int:
     """schema.py:59-60: None defaults to 1."""
     lvl = row["agreement_level"]

@@ -206,8 +206,11 @@ class TableFragmentBuilder:
         )
 
     def build(self) -> Fragment:
+        # every row in self.rows passed through normalize_row (init /
+        # append_skipped) or was assembled from normalized cells
+        # (merge_and_append) → the normalized emptiness test applies
         return {
-            "rows": [r for r in self.rows if not rm.row_is_empty(r)],
+            "rows": [r for r in self.rows if not rm.row_is_empty_normalized(r)],
             "page": self.page,
         }
 
