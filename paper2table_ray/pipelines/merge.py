@@ -26,9 +26,9 @@ import ray.data
 from .. import rowmodel as rm
 from ..schema import (
     CELLS_SCHEMA,
+    CellsTableBuilder,
     records_to_tablesfiles,
-    rows_to_table,
-    table_to_row_records,
+    table_to_doc_tablesfiles,
     tablesfile_to_records,
 )
 from ..functions.text import ColumnSchema
@@ -177,7 +177,22 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
         return []
     doc_id = records[0]["doc_id"]
     by_source = records_to_tablesfiles(records)
+    merged = merge_doc_sources(doc_id, by_source, config)
+    if merged is None:
+        return []
+    return tablesfile_to_records(doc_id, MERGED_UUID, merged)
 
+
+def merge_doc_sources(
+    doc_id: str,
+    by_source: Dict[str, dict],
+    config: MergeConfig,
+    owns_rows: bool = False,
+) -> Optional[dict]:
+    """One doc's per-source tablesfile trees → the merged tablesfile (or
+    ``None`` when every source is all-empty). ``owns_rows``: the trees
+    were freshly decoded for this call (table_to_doc_tablesfiles) — the
+    merge engine may normalize/stamp their rows in place."""
     order = config.source_order or sorted(by_source)
     tablesfiles, offsets = [], []
     for uuid in order:
@@ -198,7 +213,7 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
             + config.doc_source_offsets.get((doc_id, uuid), 0)
         )
     if not tablesfiles:
-        return []
+        return None
 
     agreement = (
         DistinctReadersAgreement(config.uuid_to_reader)
@@ -222,6 +237,7 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
         agreement=agreement,
         column_agreement=config.column_agreement,
         analyzers=analyzers,
+        owns_rows=owns_rows,
     ).merge(tablesfiles, page_offsets=offsets)
 
     if config.remove_header_rows:
@@ -234,35 +250,35 @@ def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
         only_semantic_columns=config.only_semantic_columns,
         with_drop_empty_columns=config.drop_empty_columns,
         with_drop_empty_tables=config.drop_empty_tables,
+        normalized=True,  # merge output rows are normalize_row outputs
     ):
         merged = post(merged)
 
-    return tablesfile_to_records(doc_id, MERGED_UUID, merged)
+    return merged
 
 
 def merge_cells_table(tbl: pa.Table, config: MergeConfig) -> pa.Table:
     """Whole-table merge kernel: the caller guarantees every doc's rows
     are present in ``tbl`` (one shuffle shard, or one lineage partition
-    file). Decodes the table ONCE, merges per doc over sorted record
-    runs, encodes ONCE — measured ~1.7× the per-group encode+concat path
-    (0.69s → 0.41s per 500 sf0.1 docs single-thread); the merge kernel's
-    allocation rate is the composed pipeline's scaling limiter
-    (BASELINE.md round 4), so fewer allocations also scale better."""
+    file). Fused end-to-end: Arrow → per-doc trees in one decode with
+    dictionary-encoded metadata (no intermediate record dicts), in-place
+    normalize/stamp inside the merge engine (owns_rows), merged trees →
+    Arrow through flat column buffers (no output record dicts). The
+    kernel's allocation rate is the composed pipeline's scaling limiter
+    (BASELINE.md round 4) — every dropped per-row dict is memory
+    bandwidth returned to the other 31 cores."""
     if tbl.num_rows == 0:
         return CELLS_SCHEMA.empty_table()
-    # no table sort: sorting a nested-map table copies every buffer;
-    # dict-group the decoded records and emit docs in sorted order for
-    # the same deterministic output the sorted per-group path produced
-    records = table_to_row_records(tbl)
-    by_doc: Dict[str, List[dict]] = {}
-    for rec in records:
-        by_doc.setdefault(rec["doc_id"], []).append(rec)
-    out: List[dict] = []
-    for doc in sorted(by_doc):
-        out.extend(merge_doc_records(by_doc[doc], config))
-    if not out:
-        return CELLS_SCHEMA.empty_table()
-    return rows_to_table(out)
+    # no table sort: sorting a nested-map table copies every buffer; the
+    # fused decoder sorts METADATA indices only (pc.sort_indices) and
+    # emits docs in sorted order for the same deterministic output the
+    # sorted per-group path produced
+    builder = CellsTableBuilder()
+    for doc_id, by_source in table_to_doc_tablesfiles(tbl):
+        merged = merge_doc_sources(doc_id, by_source, config, owns_rows=True)
+        if merged is not None:
+            builder.append_tablesfile(doc_id, MERGED_UUID, merged)
+    return builder.build()
 
 
 def merge_pipeline(

@@ -96,6 +96,16 @@ def row_is_empty_normalized(row: Row) -> bool:
     return True
 
 
+def is_empty_value_normalized(value: ColumnValue) -> bool:
+    """``is_empty_value`` for values already in normalized form (fixed
+    points of ``normalize_column_value``): plain truthiness."""
+    if value is None:
+        return True
+    if isinstance(value, str):
+        return not value
+    return all(not e["value"] for e in value)
+
+
 def get_agreement_level(row: Row) -> int:
     """schema.py:59-60: None defaults to 1."""
     lvl = row["agreement_level"]
@@ -111,6 +121,31 @@ def normalize_row(row: Row, row_agreement: bool = False) -> Row:
         sources=row["sources"],
         row_idx=row["row_idx"],
     )
+
+
+def normalize_row_inplace(row: Row, row_agreement: bool = False) -> Row:
+    """``normalize_row`` for engine-OWNED rows (freshly decoded from Arrow
+    inside the merge kernel, referenced nowhere else): rewrites only the
+    cell values that actually change and stamps the agreement default on
+    the row itself — zero dict/row allocations on the already-normalized
+    fast path. Callers outside the kernel must use ``normalize_row``."""
+    cells = row["cells"]
+    for col, v in cells.items():
+        if v is None:
+            continue
+        if isinstance(v, str):
+            nv = normalize_column_value(v)
+            if nv is not v:
+                cells[col] = nv
+        else:
+            for k, e in enumerate(v):
+                val = e["value"]
+                nval = normalize_column_value(val)
+                if nval is not val:
+                    v[k] = vwa(nval, e["agreement_level"])
+    if row_agreement and row["agreement_level"] is None:
+        row["agreement_level"] = 1
+    return row
 
 
 def column_names(rows: List[Row]) -> List[str]:

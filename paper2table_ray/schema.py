@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .rowmodel import ColumnValue, Row, make_row
 
@@ -280,6 +281,221 @@ def table_to_row_records(table: pa.Table) -> List[dict]:
     names_t = tuple(names) + ("cells",)
     cols = [data[name] for name in names] + [cells_list]
     return [dict(zip(names_t, row)) for row in zip(*cols)]
+
+
+def _plain_column(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _dict_decode(col) -> tuple:
+    """(codes, values): python-int codes (−1 = null) + python value list.
+    Dictionary-encoding doc_id/source_uuid/citation avoids allocating a
+    python string per ROW for columns with per-doc/per-source cardinality
+    (codes come back as one C-level ``tolist``, values once per distinct)."""
+    arr = _plain_column(col)
+    enc = arr.dictionary_encode()
+    idx = enc.indices
+    if idx.null_count:
+        idx = idx.fill_null(-1)
+    return idx.to_numpy(zero_copy_only=False).tolist(), enc.dictionary.to_pylist()
+
+
+def _int_column(col) -> list:
+    """Python-int (or None) view of an int32 metadata column; numpy-backed
+    tolist when null-free (the common case — a single C loop, no per-row
+    pyarrow boxing)."""
+    arr = _plain_column(col)
+    if arr.null_count == 0:
+        return arr.to_numpy().tolist()
+    return arr.to_pylist()
+
+
+def table_to_doc_tablesfiles(table: pa.Table) -> List[tuple]:
+    """Fused ``table_to_row_records`` + per-doc ``records_to_tablesfiles``:
+    CELLS_SCHEMA Arrow table → ``[(doc_id, {source_uuid: tablesfile})]``
+    with docs in sorted order and records in
+    ``(source_uuid or "", table_idx or 0, fragment_idx or 0, pos or 0)``
+    order inside each doc — element-for-element the tree the two-step path
+    builds, without materializing the intermediate 11-key record dict, the
+    per-record sort-key tuple, or a python string per metadata cell (the
+    merge kernel's allocation rate is the composed-pipeline scaling
+    limiter, BASELINE.md round 4). Rows are freshly allocated (the caller
+    owns them — the merge engine normalizes them in place)."""
+    n = table.num_rows
+    if n == 0:
+        return []
+    keys = pa.table(
+        {
+            "d": table.column("doc_id"),
+            "s": pc.fill_null(table.column("source_uuid"), ""),
+            "t": pc.fill_null(table.column("table_idx"), 0),
+            "f": pc.fill_null(table.column("fragment_idx"), 0),
+            "p": pc.fill_null(table.column("pos"), 0),
+        }
+    )
+    # arrow multi-key sort is stable and bytewise-UTF8 == codepoint order,
+    # so this reproduces python's sorted() over the same keys
+    order = pc.sort_indices(
+        keys,
+        sort_keys=[(c, "ascending") for c in ("d", "s", "t", "f", "p")],
+    ).to_numpy()
+
+    doc_codes, doc_vals = _dict_decode(table.column("doc_id"))
+    src_codes, src_vals = _dict_decode(table.column("source_uuid"))
+    cit_codes, cit_vals = _dict_decode(table.column("citation"))
+    table_idx = _int_column(table.column("table_idx"))
+    fragment_idx = _int_column(table.column("fragment_idx"))
+    page = _int_column(table.column("page"))
+    row_idx = _int_column(table.column("row_idx"))
+    agreement = _int_column(table.column("agreement_level"))
+    sources_col = _plain_column(table.column("sources"))
+    sources = (
+        None if sources_col.null_count == n else sources_col.to_pylist()
+    )
+    cells_list = _decode_cells_column(_plain_column(table.column("cells")))
+
+    out: List[tuple] = []
+    by_source: Dict[Any, dict] = {}
+    cur_doc = -2
+    for i in order.tolist():
+        dc = doc_codes[i]
+        if dc != cur_doc:
+            cur_doc = dc
+            by_source = {}
+            out.append((doc_vals[dc] if dc >= 0 else None, by_source))
+        sc = src_codes[i]
+        src_key = src_vals[sc] if sc >= 0 else None
+        src = by_source.get(src_key)
+        if src is None:
+            cc = cit_codes[i]
+            src = by_source[src_key] = {
+                "tables": [],
+                "citation": cit_vals[cc] if cc >= 0 else None,
+            }
+        tables: list = src["tables"]
+        t_i = table_idx[i]
+        while len(tables) <= t_i:
+            tables.append({"fragments": []})
+        fragments = tables[t_i]["fragments"]
+        f_i = fragment_idx[i]
+        p = page[i]
+        while len(fragments) <= f_i:
+            fragments.append({"page": p, "rows": []})
+        frag = fragments[f_i]
+        frag["page"] = p
+        frag["rows"].append(
+            make_row(
+                cells_list[i],
+                agreement_level=agreement[i],
+                sources=sources[i] if sources is not None else None,
+                row_idx=row_idx[i],
+            )
+        )
+    return out
+
+
+class CellsTableBuilder:
+    """Fused ``tablesfile_to_records`` + ``rows_to_table``: appends merged
+    tablesfiles straight into the flat per-column buffers that
+    ``_encode_cells_column`` assembles, skipping the intermediate
+    11-key record dict per output row."""
+
+    def __init__(self) -> None:
+        self._meta: Dict[str, list] = {
+            name: [] for name in CELLS_SCHEMA.names if name != "cells"
+        }
+        self._map_offsets = [0]
+        self._keys: List[str] = []
+        self._item_offsets = [0]
+        self._flat_vals: List[str] = []
+        self._flat_lvls: List[int] = []
+        self._n_pairs = 0
+        self._n_cells = 0
+
+    def append_tablesfile(
+        self, doc_id: str, source_uuid: str, tablesfile: dict
+    ) -> None:
+        m = self._meta
+        doc_ids = m["doc_id"]
+        source_uuids = m["source_uuid"]
+        table_idxs = m["table_idx"]
+        fragment_idxs = m["fragment_idx"]
+        pages = m["page"]
+        poss = m["pos"]
+        row_idxs = m["row_idx"]
+        agreements = m["agreement_level"]
+        sourcess = m["sources"]
+        citations = m["citation"]
+        keys = self._keys
+        item_offsets = self._item_offsets
+        flat_vals = self._flat_vals
+        flat_lvls = self._flat_lvls
+        map_offsets = self._map_offsets
+        citation = tablesfile.get("citation")
+        for t_idx, table in enumerate(tablesfile["tables"]):
+            for f_idx, frag in enumerate(table["fragments"]):
+                page = frag["page"]
+                for pos, row in enumerate(frag["rows"]):
+                    doc_ids.append(doc_id)
+                    source_uuids.append(source_uuid)
+                    table_idxs.append(t_idx)
+                    fragment_idxs.append(f_idx)
+                    pages.append(page)
+                    poss.append(pos)
+                    row_idxs.append(row["row_idx"])
+                    agreements.append(row["agreement_level"])
+                    sourcess.append(row["sources"])
+                    citations.append(citation)
+                    for name, value in row["cells"].items():
+                        keys.append(name)
+                        if value is None:
+                            flat_vals.append("")
+                            flat_lvls.append(NONE_SENTINEL)
+                            self._n_pairs += 1
+                        elif isinstance(value, str):
+                            flat_vals.append(value)
+                            flat_lvls.append(PLAIN_STRING_SENTINEL)
+                            self._n_pairs += 1
+                        else:
+                            for v in value:
+                                flat_vals.append(v["value"])
+                                flat_lvls.append(v["agreement_level"])
+                            self._n_pairs += len(value)
+                        item_offsets.append(self._n_pairs)
+                        self._n_cells += 1
+                    map_offsets.append(self._n_cells)
+
+    def build(self) -> pa.Table:
+        if not self._meta["doc_id"]:
+            return CELLS_SCHEMA.empty_table()
+        structs = pa.StructArray.from_arrays(
+            [
+                pa.array(self._flat_vals, type=pa.string()),
+                pa.array(self._flat_lvls, type=pa.int32()),
+            ],
+            names=["value", "agreement_level"],
+        )
+        items = pa.ListArray.from_arrays(
+            pa.array(self._item_offsets, type=pa.int32()), structs
+        )
+        cells = pa.MapArray.from_arrays(
+            pa.array(self._map_offsets, type=pa.int32()),
+            pa.array(self._keys, type=pa.string()),
+            items,
+        )
+        arrays = []
+        for name in CELLS_SCHEMA.names:
+            if name == "cells":
+                arrays.append(cells)
+            else:
+                arrays.append(
+                    pa.array(
+                        self._meta[name], type=CELLS_SCHEMA.field(name).type
+                    )
+                )
+        return pa.Table.from_arrays(arrays, schema=CELLS_SCHEMA)
 
 
 def record_to_row(rec: dict) -> Row:

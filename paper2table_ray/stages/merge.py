@@ -86,15 +86,23 @@ def to_values_with_agreement(value: rm.ColumnValue) -> List[dict]:
 
 
 def merge_columns_without_agreement(
-    left: Row, right: Row, left_normalized: bool = False
+    left: Row,
+    right: Row,
+    left_normalized: bool = False,
+    right_owned: bool = False,
 ) -> Dict[str, rm.ColumnValue]:
     """Left-biased dict union (fragments_builder.py:13-17).
 
     ``left_normalized``: the caller guarantees ``left``'s cells are already
     the output of ``rm.normalize_row`` — normalization is idempotent
     (property-tested), so re-normalizing would only burn a dict rebuild.
+    ``right_owned``: ``right`` is engine-owned (fresh Arrow decode) — it
+    may be normalized in place instead of copied.
     """
-    merged = dict(rm.normalize_row(right)["cells"])
+    if right_owned:
+        merged = dict(rm.normalize_row_inplace(right)["cells"])
+    else:
+        merged = dict(rm.normalize_row(right)["cells"])
     merged.update(
         left["cells"] if left_normalized else rm.normalize_row(left)["cells"]
     )
@@ -102,12 +110,17 @@ def merge_columns_without_agreement(
 
 
 def merge_columns_with_agreement(
-    left: Row, right: Row, left_normalized: bool = False
+    left: Row,
+    right: Row,
+    left_normalized: bool = False,
+    right_owned: bool = False,
 ) -> Dict[str, rm.ColumnValue]:
     """Per-column multiset union with summed agreement levels
     (fragments_builder.py:20-37)."""
+    if right_owned:
+        rm.normalize_row_inplace(right)
     column_values: Dict[str, Dict[str, int]] = {}
-    for row, normalized in ((left, left_normalized), (right, False)):
+    for row, normalized in ((left, left_normalized), (right, right_owned)):
         cells = row["cells"] if normalized else rm.normalize_row(row)["cells"]
         for column_name, column_value in cells.items():
             values = column_values.setdefault(column_name, {})
@@ -126,15 +139,20 @@ def merge_rows(
     agreement=None,
     column_agreement: bool = False,
     left_normalized: bool = False,
+    right_owned: bool = False,
 ) -> Row:
     """fragments_builder.py:40-59."""
     if agreement is None:
         agreement = SimpleCountAgreement()
     agreement_level = agreement.calculate_level(left, right)
     if column_agreement:
-        cells = merge_columns_with_agreement(left, right, left_normalized)
+        cells = merge_columns_with_agreement(
+            left, right, left_normalized, right_owned
+        )
     else:
-        cells = merge_columns_without_agreement(left, right, left_normalized)
+        cells = merge_columns_without_agreement(
+            left, right, left_normalized, right_owned
+        )
     left_sources = left["sources"] or []
     right_sources = right["sources"] or []
     sources = list(dict.fromkeys(left_sources + right_sources)) or None
@@ -155,23 +173,35 @@ class TableFragmentBuilder:
         initial_uuid: Optional[str],
         agreement,
         column_agreement: bool,
+        owns_rows: bool = False,
     ):
         self.agreement = agreement
         self.column_agreement = column_agreement
         self.page = initial_fragment["page"]
         do_agreement = agreement is not None
         self._do_agreement = do_agreement
+        # owns_rows: every row reaching this builder was freshly decoded
+        # from Arrow inside this merge call (table_to_doc_tablesfiles) —
+        # normalize/stamp IN PLACE instead of allocating a copy per row
+        # (the kernel's allocation rate is the composed-pipeline scaling
+        # limiter, BASELINE.md round 4)
+        self._owns_rows = owns_rows
         sources = [initial_uuid] if initial_uuid else None
         rows = []
-        for i, row in enumerate(initial_fragment["rows"]):
-            # normalize_row already returns a fresh dict — stamp it in
-            # place instead of {**row, ...}-copying a second one (this
-            # kernel's allocation rate is the composed-pipeline scaling
-            # limiter, BASELINE.md round 4)
-            n = rm.normalize_row(row, do_agreement)
-            n["sources"] = sources
-            n["row_idx"] = i
-            rows.append(n)
+        if owns_rows:
+            for i, row in enumerate(initial_fragment["rows"]):
+                rm.normalize_row_inplace(row, do_agreement)
+                row["sources"] = sources
+                row["row_idx"] = i
+                rows.append(row)
+        else:
+            for i, row in enumerate(initial_fragment["rows"]):
+                # normalize_row already returns a fresh dict — stamp it in
+                # place instead of {**row, ...}-copying a second one
+                n = rm.normalize_row(row, do_agreement)
+                n["sources"] = sources
+                n["row_idx"] = i
+                rows.append(n)
         self.rows = rows
 
     def next_left_rows(self) -> List[Row]:
@@ -181,6 +211,12 @@ class TableFragmentBuilder:
 
     def append_skipped(self, rows: List[Row], source_uuid: Optional[str]):
         sources = [source_uuid] if source_uuid else None
+        if self._owns_rows:
+            for skipped in rows:
+                rm.normalize_row_inplace(skipped, self._do_agreement)
+                skipped["sources"] = sources
+                self.rows.append(skipped)
+            return
         for skipped in rows:
             n = rm.normalize_row(skipped, self._do_agreement)
             n["sources"] = sources
@@ -202,6 +238,7 @@ class TableFragmentBuilder:
                 agreement=self.agreement,
                 column_agreement=self.column_agreement,
                 left_normalized=True,
+                right_owned=self._owns_rows,
             )
         )
 
@@ -251,10 +288,15 @@ class TablesFileMerger:
         agreement=None,
         column_agreement: bool = False,
         analyzers: list = [],
+        owns_rows: bool = False,
     ):
         self.agreement = agreement if agreement is not None else SimpleCountAgreement()
         self.column_agreement = column_agreement
         self.analyzers = analyzers
+        # owns_rows: the caller guarantees every row in ``tablesfiles`` is
+        # engine-owned (fresh per-call Arrow decode) → normalize/stamp in
+        # place, never copy. Direct API users keep the copying default.
+        self.owns_rows = owns_rows
 
     def merge(
         self,
@@ -297,16 +339,26 @@ class TablesFileMerger:
                     left_tablesfile.get("uuid"),
                     self.agreement,
                     self.column_agreement,
+                    owns_rows=self.owns_rows,
                 )
 
                 for right_fragment, right_tablesfile in merge_targets[1:]:
                     if not right_fragment:
                         break
                     right_uuid = right_tablesfile.get("uuid")
-                    right_rows = [
-                        {**aligner.rename_row(r), "row_idx": i}
-                        for i, r in enumerate(right_fragment["rows"])
-                    ]
+                    if self.owns_rows:
+                        # renamed rows are either the tree's own (identity
+                        # rename) or fresh — stamp row_idx in place
+                        right_rows = []
+                        for i, r in enumerate(right_fragment["rows"]):
+                            rr = aligner.rename_row(r)
+                            rr["row_idx"] = i
+                            right_rows.append(rr)
+                    else:
+                        right_rows = [
+                            {**aligner.rename_row(r), "row_idx": i}
+                            for i, r in enumerate(right_fragment["rows"])
+                        ]
                     left_rows = builder.next_left_rows()
                     right_idx = 0
 
@@ -324,10 +376,16 @@ class TablesFileMerger:
                             and right_rows[right_idx]["row_idx"] == left_row["row_idx"]
                             and rm.same_row(left_row, right_rows[right_idx])
                         ):
-                            right_row = {
-                                **right_rows[right_idx],
-                                "sources": [right_uuid] if right_uuid else None,
-                            }
+                            if self.owns_rows:
+                                right_row = right_rows[right_idx]
+                                right_row["sources"] = (
+                                    [right_uuid] if right_uuid else None
+                                )
+                            else:
+                                right_row = {
+                                    **right_rows[right_idx],
+                                    "sources": [right_uuid] if right_uuid else None,
+                                }
                             builder.merge_and_append(left_row, right_row)
                             right_idx += 1
                         else:

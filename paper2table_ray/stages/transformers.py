@@ -501,7 +501,12 @@ def filter_header_rows_tablesfile(tablesfile: dict, hints: List[str] = []) -> di
     return {**tablesfile, "tables": tables}
 
 
-def drop_empty_columns(tablesfile: dict) -> dict:
+def drop_empty_columns(tablesfile: dict, normalized: bool = False) -> dict:
+    """``normalized``: rows are normalize_row outputs (e.g. the merged
+    tablesfile) — emptiness is plain truthiness, no normalize chain.
+    Equivalent even after schema coercion: coercion never turns a
+    normalized value into a truthy-but-normalize-empty string."""
+    is_empty = rm.is_empty_value_normalized if normalized else rm.is_empty_value
     tables = []
     for table in tablesfile["tables"]:
         fragments = []
@@ -510,7 +515,7 @@ def drop_empty_columns(tablesfile: dict) -> dict:
             empty_cols = {
                 col
                 for col in all_cols
-                if all(rm.is_empty_value(r["cells"].get(col)) for r in frag["rows"])
+                if all(is_empty(r["cells"].get(col)) for r in frag["rows"])
             }
             if not empty_cols:
                 fragments.append(frag)  # identity: nothing to drop
@@ -529,7 +534,18 @@ def drop_empty_columns(tablesfile: dict) -> dict:
     return {**tablesfile, "tables": tables}
 
 
-def drop_empty_tables(tablesfile: dict) -> dict:
+def drop_empty_tables(tablesfile: dict, normalized: bool = False) -> dict:
+    if normalized:
+        tables = []
+        for table in tablesfile["tables"]:
+            fragments = [
+                f
+                for f in table["fragments"]
+                if not all(rm.row_is_empty_normalized(r) for r in f["rows"])
+            ]
+            if fragments:
+                tables.append({"fragments": fragments})
+        return {**tablesfile, "tables": tables}
     tables = []
     for table in tablesfile["tables"]:
         fragments = [f for f in table["fragments"] if not rm.fragment_is_empty(f)]
@@ -659,15 +675,25 @@ def build_postprocessors(
     only_semantic_columns: bool = False,
     with_drop_empty_columns: bool = True,
     with_drop_empty_tables: bool = True,
+    normalized: bool = False,
 ) -> list:
-    """postprocessor.py:155-175 (same defaults/order)."""
+    """postprocessor.py:155-175 (same defaults/order). ``normalized``:
+    the input tablesfile's rows are normalize_row outputs (merge output),
+    letting the empty-drops use truthiness instead of the normalize
+    chain."""
+    from functools import partial
+
     result: list = []
     if only_semantic_columns:
         result.append(("filter_semantic", filter_semantic_columns))
     if with_drop_empty_columns:
-        result.append(("drop_empty_columns", drop_empty_columns))
+        result.append(
+            ("drop_empty_columns", partial(drop_empty_columns, normalized=normalized))
+        )
     if with_drop_empty_tables:
-        result.append(("drop_empty_tables", drop_empty_tables))
+        result.append(
+            ("drop_empty_tables", partial(drop_empty_tables, normalized=normalized))
+        )
     if schema:
         sp = SchemaPostProcessor(schema, filter_columns, order_columns, coerce_types)
         result.append(("schema", sp.postprocess))
