@@ -48,6 +48,7 @@ from ..stages.merge import (
 )
 from ..stages.transformers import (
     FilterEmptyRowsTransformer,
+    FilterHeaderRowsTransformer,
     FilterTitleRowsTransformer,
     FragmentValuesReverser,
     FragmentsExploder,
@@ -58,7 +59,6 @@ from ..stages.transformers import (
     UnsafeConsecutiveFragmentsCompactor,
     apply_fragment_transformers,
     build_postprocessors,
-    filter_header_rows_tablesfile,
 )
 
 _TABLESFILE_TRANSFORMERS = {
@@ -115,9 +115,13 @@ class MergeConfig:
 
 
 def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
-    """Phase 1 (tablesfile_loader.py:27-43): pretransformers → always-on
-    column-name normalization + optional hints/alias analyzers →
-    always-appended empty-row filter."""
+    """Phase 1 (tablesfile_loader.py:27-43): pretransformers (with the
+    always-appended empty-row filter, __main__.py:687) → tablesfile
+    transformer → column-name normalization + optional hints/alias
+    analyzers → posttransformers (header-row filter when
+    remove_header_rows, merge_resultsets __main__.py:265-267 — per
+    SOURCE at load time, not post-merge; pinned by the differential
+    oracle tests/test_reference_differential_merge.py)."""
     pre = []
     if config.fix_reversed_column_values:
         pre.append(FragmentValuesReverser(config.semantic_language))
@@ -129,6 +133,7 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
         pre.append(NormalizePunctuationTransformer())
     if config.split_conjunction_columns:
         pre.append(SplitColumnTransformer(config.semantic_language))
+    pre.append(FilterEmptyRowsTransformer())
     tf = apply_fragment_transformers(tf, pre)
 
     if config.transform_tablesfile:
@@ -167,7 +172,11 @@ def _load_tablesfile(tf: dict, config: MergeConfig) -> dict:
             fragments.append(frag)
         tables.append({"fragments": fragments})
     tf = {**tf, "tables": tables}
-    return apply_fragment_transformers(tf, [FilterEmptyRowsTransformer()])
+    if config.remove_header_rows:
+        tf = apply_fragment_transformers(
+            tf, [FilterHeaderRowsTransformer(config.hints)]
+        )
+    return tf
 
 
 def merge_doc_records(records: List[dict], config: MergeConfig) -> List[dict]:
@@ -240,8 +249,6 @@ def merge_doc_sources(
         owns_rows=owns_rows,
     ).merge(tablesfiles, page_offsets=offsets)
 
-    if config.remove_header_rows:
-        merged = filter_header_rows_tablesfile(merged, config.hints)
     for name, post in build_postprocessors(
         schema=config.schema,
         filter_columns=config.filter_schema_columns,

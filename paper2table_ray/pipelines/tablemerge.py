@@ -41,7 +41,12 @@ def settings_to_config(
 
     schema = ColumnSchema.parse(settings.schema) if settings.schema else None
     return MergeConfig(
-        column_agreement=settings.agreement_method != "none",
+        # the reference CLI NEVER enables the column-agreement vote merge
+        # (merge_tablesfiles_paths constructs TablesFileMerger without
+        # column_agreement, __main__.py:223-226; only the library tests
+        # pass column_agreement=True) — found by the differential oracle
+        # (tests/test_reference_differential_merge.py)
+        column_agreement=False,
         distinct_readers=settings.agreement_method == "distinct-readers",
         uuid_to_reader=uuid_to_reader or {},
         jaccard_alignment=settings.jaccard_column_alignment,

@@ -159,9 +159,11 @@ class TestPaperAliases:
         assert len(fragments) == 1
         assert fragments[0]["page"] == 10
         row = fragments[0]["rows"][0]
-        # default settings run with column agreement → vwa-list values;
-        # level 2 proves the offset aligned the pages and the rows merged
-        assert row["family"] == [{"agreement_level": 2, "value": "apiaceae"}]
+        # the CLI never enables column agreement (reference
+        # __main__.py:223-226; differential oracle) → plain string value;
+        # row-level agreement 2 proves the offset aligned the pages and
+        # the rows merged
+        assert row["family"] == "apiaceae"
         assert row["agreement_level_"] == 2
 
     def test_paper_filter_strips_tables_json_suffix(self, tmp_path):
