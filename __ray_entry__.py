@@ -2,15 +2,16 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 46 with
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 48 with
 DuckDB oracles — all oracled queries enumerate first (the driver's
-correctness run records at most 50 entries). Ops whose semantics are not
-SQL-expressible (the SimHash pair set, the cells merge model, mapped
-extraction, filesystem lineage) are rows-only by design — their
-correctness gates are the pytest brute-force / parity / kill-resume
-tests. Six oracles read deterministic pure-Python input dumps under
-/tmp (pipelines/oracle_dumps.py) because their reference input exists
-only as seeded synthesis, not as one of the driver's parquet views.
+correctness run records at most 50 entries). The two ops whose semantics
+are not SQL-expressible (the cells merge model, filesystem lineage) are
+rows-only by design — their correctness gates are the pytest parity /
+kill-resume tests plus the differential oracle against the reference's
+own merge code (tests/test_reference_differential_merge.py). Eight
+oracles read deterministic pure-Python input dumps under /tmp
+(pipelines/oracle_dumps.py) because their reference input exists only
+as seeded synthesis, not as one of the driver's parquet views.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.

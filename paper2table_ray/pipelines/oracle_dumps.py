@@ -96,6 +96,47 @@ def ensure_expected_spans_dump(sf_dir: str) -> str:
     return path
 
 
+def ensure_expected_mapped_spans_dump(sf_dir: str) -> str:
+    """Generation-plan expected MAPPED spans (SPANS_OUT_SCHEMA): the
+    deterministic planner's mapping applied by an independent
+    re-derivation (sources/synth.expected_mapped_spans_batch), never by
+    running the extractor's mapped path."""
+    path = _dump_path(sf_dir, "expected_mapped_spans")
+    if os.path.exists(path):
+        return path
+    from ..sources.synth import expected_mapped_spans_batch
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    _atomic_write(expected_mapped_spans_batch(docs), path)
+    return path
+
+
+def ensure_simhash_dump(sf_dir: str) -> str:
+    """Per-doc 64-bit SimHash (pure Python, no Ray): the oracle side of
+    ``simhash_pairs`` does the pairwise Hamming self-join in SQL (at
+    sf0.01 that is 500 docs → trivial), so the engine's pigeonhole
+    chunking / bucket walk / single-emit logic is verified against a
+    brute-force join over the same signatures."""
+    path = _dump_path(sf_dir, "simhash64")
+    if os.path.exists(path):
+        return path
+    from ..stages.dedup import _batch_token_hashes, _simhash_from_token_hashes
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    tok = _batch_token_hashes(docs.column("text").to_pylist())
+    vals = [_simhash_from_token_hashes(h) for h in tok]
+    _atomic_write(
+        pa.table(
+            {
+                "doc_id": docs.column("doc_id"),
+                "simhash": pa.array(vals, type=pa.uint64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def stamp_stats_metadata(rec: dict) -> dict:
     """Deterministic md5 stats metadata for the tablestats oracle: the
     synthetic resultsets carry ``row_idx=None`` / ``agreement_level=None``
@@ -185,5 +226,7 @@ def ensure_oracle_dumps(sf_dir: str) -> dict:
     execution order works)."""
     return {
         "expected_spans": ensure_expected_spans_dump(sf_dir),
+        "expected_mapped_spans": ensure_expected_mapped_spans_dump(sf_dir),
+        "simhash64": ensure_simhash_dump(sf_dir),
         "cells_flat": ensure_cells_flat_dump(sf_dir),
     }

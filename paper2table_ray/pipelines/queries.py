@@ -475,13 +475,16 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-duplicate pairs (rows-only)."""
+    """SimHash near-duplicate pairs, DuckDB-ORACLED: the oracle does a
+    brute-force pairwise Hamming self-join over the per-doc signature
+    dump (oracle_dumps.ensure_simhash_dump), pinning the pigeonhole
+    chunking, bucket walk and lowest-agreeing-chunk single emit against
+    the exact pair set. Returns the STREAMING Dataset (at 100 TB the
+    near-dup pair set can be ~corpus-sized — it must never materialize
+    on the driver)."""
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # rows-only query: return the STREAMING Dataset (the ~10^6-pair
-    # result would otherwise materialize on the driver; the driver's
-    # rows-only check needs only the count)
     return simhash_pairs(ds, max_hamming=6)
 
 
@@ -942,17 +945,19 @@ def q_extract_windowed(sf_dir: str):
 
 
 def q_extract_mapped(sf_dir: str):
-    """Hybrid-reader analogue (SURVEY.md S6): deterministic planner stub
-    produces per-doc column mappings as a ``Dataset`` side table (no
-    driver materialization of the mapping set — extract_spans_mapped
-    size-gates broadcast vs doc_id hash join); mapped extraction applies
-    ordinal select + rename; rows-only."""
+    """Hybrid-reader analogue (SURVEY.md S6), DuckDB-ORACLED against an
+    independent re-derivation of the mapped expected spans
+    (oracle_dumps.ensure_expected_mapped_spans_dump): deterministic
+    planner stub produces per-doc column mappings as a ``Dataset`` side
+    table (no driver materialization of the mapping set —
+    extract_spans_mapped size-gates broadcast vs doc_id hash join);
+    mapped extraction applies header drop + ordinal select + rename.
+    The two consumers each stream their OWN synthesis (deterministic per
+    doc) instead of materializing the docs corpus."""
     from .extract import extract_spans_mapped, plan_mappings_ds, synth_docs_dataset
 
-    docs = synth_docs_dataset(sf_dir).materialize()
-    mappings = plan_mappings_ds(docs)
-    out = extract_spans_mapped(docs, mappings).to_pandas()
-    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    mappings = plan_mappings_ds(synth_docs_dataset(sf_dir))
+    return extract_spans_mapped(synth_docs_dataset(sf_dir), mappings)
 
 
 def q_scientific_names(sf_dir: str):
@@ -1730,13 +1735,13 @@ QUERIES = {
     "asof_event_order": q_asof_event_order,
     "range_join_order_events": q_range_join_order_events,
     "minhash_pairs": q_minhash_pairs,
-    # --- rows-only by design (4): the SimHash pair set (brute-force-
-    # checked in pytest), the dynamic-column cells merge model (153-case
-    # parity suite), mapped extraction (reference reader edge-case
-    # ports), filesystem lineage (kill/resume tests) ---
-    "simhash_pairs": q_simhash_pairs,
-    "merge_cells": q_merge_cells,
     "extract_mapped": q_extract_mapped,
+    "simhash_pairs": q_simhash_pairs,
+    # --- rows-only by design (2): the dynamic-column cells merge model
+    # (153-case parity suite + differential oracle against the
+    # reference's own code, tests/test_reference_differential_merge.py)
+    # and filesystem lineage (kill/resume tests) ---
+    "merge_cells": q_merge_cells,
     "resume_lineage": q_resume_lineage,
 }
 
@@ -2382,6 +2387,8 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
 
     paths = ensure_oracle_dumps(sf_dir)
     spans = paths["expected_spans"]
+    mapped_spans = paths["expected_mapped_spans"]
+    simhash = paths["simhash64"]
     cells = paths["cells_flat"]
 
     # shared G4 derivation: per-cell-entry dump → per-(doc,uuid) stats
@@ -2505,6 +2512,27 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
             SELECT doc_id, span_idx, kind, text, media_ref
             FROM read_parquet('{spans}')
             ORDER BY doc_id, span_idx
+        """,
+        # mapped (hybrid) extraction: plan-derived expected spans with
+        # the deterministic planner's mapping applied by an INDEPENDENT
+        # re-derivation (sources/synth.expected_mapped_spans_batch) —
+        # never by the extractor's own mapped code path
+        "extract_mapped": f"""
+            SELECT doc_id, span_idx, kind, text, media_ref
+            FROM read_parquet('{mapped_spans}')
+            ORDER BY doc_id, span_idx
+        """,
+        # SimHash near-dup pairs: brute-force pairwise Hamming self-join
+        # over the per-doc signature dump (the engine side pigeonholes,
+        # buckets and single-emits — the oracle proves that equals the
+        # exact pair set)
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash FROM read_parquet('{simhash}'))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY doc_a, doc_b
         """,
         # extract-fed media path: expected refs from the generation plan,
         # stub decoder dims via md5 arithmetic (same identity as the

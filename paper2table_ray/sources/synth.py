@@ -285,6 +285,159 @@ def synth_docs_batch(batch: pa.Table, seed: int = DEFAULT_SEED) -> pa.Table:
     )
 
 
+def _mapped_table_block(
+    raw: List[str], cm: dict, transformers: list
+) -> List[Tuple[str, str, str]]:
+    """Independent re-derivation of one MAPPED table run (the semantics of
+    reference document.py:77-123 as described in stages/extract.py's
+    mapped path, re-implemented here so the q_extract_mapped oracle does
+    not execute the extractor's own code): candidate parse gated on the
+    highest mapped ordinal, all_pages header drop, ordinal select +
+    rename, then the default transformer chain."""
+    import re
+
+    from .. import rowmodel as rm
+    from ..functions.text import normalize_column_name
+
+    multispace = re.compile(r" {2,}")
+    strategies = (
+        lambda rows: [r.split(CELL_SEP) for r in rows],
+        lambda rows: [multispace.split(r.strip()) for r in rows],
+        lambda rows: [
+            [c.strip() for c in r.strip().strip("|").split("|")] for r in rows
+        ],
+    )
+    ordinals = sorted(cm)
+    min_width = ordinals[-1] + 1
+    grids = None
+    for parse in strategies:
+        try:
+            g = parse(raw)
+        except Exception:
+            continue
+        if max(len(r) for r in g) >= min_width:
+            grids = g
+            break
+    if grids is None:
+        return []  # no candidate covers the highest mapped ordinal
+    width = max(len(r) for r in grids)
+    grids = [r + [""] * (width - len(r)) for r in grids]
+    body = grids[1:]  # header_mode=all_pages (the planner stub's mode)
+    columns = [normalize_column_name(cm[o]) for o in ordinals]
+    fragment = {
+        "rows": [
+            rm.make_row(
+                {
+                    col: row[o].replace("\n", " ")
+                    for col, o in zip(columns, ordinals)
+                }
+            )
+            for row in body
+        ],
+        "page": 1,
+    }
+    for t in transformers:
+        fragment = t.transform_fragment(fragment)
+    out_columns = rm.fragment_column_names(fragment) or columns
+    out: List[Tuple[str, str, str]] = [("table", CELL_SEP.join(out_columns), "")]
+    for row in fragment["rows"]:
+        values = []
+        for col in out_columns:
+            val = row["cells"].get(col)
+            if val is None:
+                values.append("")
+            elif isinstance(val, str):
+                values.append(val)
+            else:
+                values.append(val[0]["value"] if val else "")
+        out.append(("row", CELL_SEP.join(values), ""))
+    return out
+
+
+def expected_mapped_spans_batch(
+    batch: pa.Table, seed: int = DEFAULT_SEED
+) -> pa.Table:
+    """Expected output of the MAPPED (hybrid) extraction over the
+    generation plan — the oracle side of ``q_extract_mapped``.
+
+    The deterministic planner maps ordinals from the doc's first
+    ``table_row`` span (stages/llmclient.DeterministicPlannerClient);
+    docs with no table rows get no mapping and extract unmapped, so
+    their expected sequence is the plan's unmapped one. For mapped docs
+    every table block in the plan's expected sequence is replaced by the
+    independently derived mapped block (``_mapped_table_block``) of the
+    corresponding raw run."""
+    from ..functions.text import normalize_column_name
+    from ..stages.transformers import (
+        FilterEmptyRowsTransformer,
+        FilterTitleRowsTransformer,
+        LeadingRowNumberTransformer,
+        NormalizePunctuationTransformer,
+    )
+
+    transformers = [
+        FilterTitleRowsTransformer(),
+        LeadingRowNumberTransformer(),
+        NormalizePunctuationTransformer(),
+        FilterEmptyRowsTransformer(),
+    ]
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    doc, idx, kind_col, text_col, ref = [], [], [], [], []
+    for raw_id, text in zip(ids, texts):
+        doc_id = _doc_id_of(raw_id)
+        spans, expected = build_doc(doc_id, text or "", seed)
+        runs: List[List[str]] = []
+        cur: List[str] = []
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "table_row":
+                cur.append(s["text"])
+            elif cur:
+                runs.append(cur)
+                cur = []
+        if cur:
+            runs.append(cur)
+        if not runs:
+            seq = expected
+        else:
+            first_cells = runs[0][0].split(CELL_SEP)
+            cm = {
+                i: normalize_column_name(c) or f"col_{i}"
+                for i, c in enumerate(first_cells)
+            }
+            blocks = [_mapped_table_block(r, cm, transformers) for r in runs]
+            seq = []
+            run_i = 0
+            j = 0
+            while j < len(expected):
+                if expected[j][0] == "table":
+                    j += 1
+                    while j < len(expected) and expected[j][0] == "row":
+                        j += 1
+                    seq.extend(blocks[run_i])
+                    run_i += 1
+                else:
+                    seq.append(expected[j])
+                    j += 1
+            assert run_i == len(runs), f"{doc_id}: {run_i} != {len(runs)}"
+        for i, (k, t, r) in enumerate(seq):
+            doc.append(doc_id)
+            idx.append(i)
+            kind_col.append(k)
+            text_col.append(t)
+            ref.append(r)
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc, type=pa.string()),
+            pa.array(idx, type=pa.int32()),
+            pa.array(kind_col, type=pa.string()),
+            pa.array(text_col, type=pa.string()),
+            pa.array(ref, type=pa.string()),
+        ],
+        schema=SPANS_OUT_SCHEMA,
+    )
+
+
 def expected_spans_batch(batch: pa.Table, seed: int = DEFAULT_SEED) -> pa.Table:
     """Same input → the expected SPANS_OUT_SCHEMA rows (the oracle side)."""
     ids = batch.column("doc_id").to_pylist()
