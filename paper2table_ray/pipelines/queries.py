@@ -423,9 +423,9 @@ def q_lang_id(sf_dir: str):
         .map_batches(
             lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
         )
-        .to_pandas()
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # streaming: one row per doc; the driver compare is order-insensitive
+    return out
 
 
 def q_quality_scores(sf_dir: str):
@@ -440,13 +440,24 @@ def q_quality_scores(sf_dir: str):
         ds.map_batches(add_text_features, batch_format="pyarrow")
         .map_batches(add_quality_score, batch_format="pyarrow")
         .map_batches(
-            lambda b: b.select(["doc_id", "quality_score"]),
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "quality_score": pa.array(
+                        round_sql(
+                            b.column("quality_score").to_numpy(
+                                zero_copy_only=False
+                            ),
+                            6,
+                        )
+                    ),
+                }
+            ),
             batch_format="pyarrow",
         )
-        .to_pandas()
     )
-    out["quality_score"] = round_sql(out["quality_score"], 6)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # streaming: one row per doc; the driver compare is order-insensitive
+    return out
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -667,7 +678,9 @@ def q_user_sessions(sf_dir: str):
     operator as partitioned batch: coarse shard on user hash → in-shard
     vectorized gap/cumsum (no per-user groups cross the shuffle)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    num_shards = 32
+    from ..stages.shuffle import default_num_shards
+
+    num_shards = default_num_shards()  # shuffle width scales with cluster
 
     def add_shard(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -725,10 +738,8 @@ def q_merge_cells(sf_dir: str):
             ]
         )
 
-    out = merged.map_batches(flatten, batch_format="pyarrow").to_pandas()
-    return out.sort_values(
-        ["doc_id", "table_idx", "fragment_idx", "row_idx"]
-    ).reset_index(drop=True)
+    # streaming: merged cells are corpus-sized (rows-only count check)
+    return merged.map_batches(flatten, batch_format="pyarrow")
 
 
 def _stamped_cells(sf_dir: str):
@@ -757,8 +768,8 @@ def q_paper_stats(sf_dir: str):
     per-cell-entry dump (oracle_dumps.ensure_cells_flat_dump)."""
     from ..stages.stats import paper_stats_dataset
 
-    out = paper_stats_dataset(_stamped_cells(sf_dir)).to_pandas()
-    return out.sort_values(["doc_id", "source_uuid"]).reset_index(drop=True)
+    # streaming: one row per (doc, source); order-insensitive compare
+    return paper_stats_dataset(_stamped_cells(sf_dir))
 
 
 def q_global_stats(sf_dir: str):
@@ -790,8 +801,8 @@ def q_media_features(sf_dir: str):
             }
         )
 
-    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
-    return out.sort_values("media_ref").reset_index(drop=True)
+    # streaming: one row per media ref; order-insensitive compare
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def q_media_from_spans(sf_dir: str):
@@ -816,8 +827,8 @@ def q_media_from_spans(sf_dir: str):
             }
         )
 
-    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
-    return out.sort_values("media_ref").reset_index(drop=True)
+    # streaming: one row per media ref; order-insensitive compare
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def q_filenorm_plan(sf_dir: str):
@@ -938,10 +949,8 @@ def q_extract_windowed(sf_dir: str):
     oracle: window reassembly is hash-verified, not just row-counted."""
     from .extract import extract_spans_windowed, synth_docs_dataset
 
-    out = extract_spans_windowed(
-        synth_docs_dataset(sf_dir), window_spans=64
-    ).to_pandas()
-    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    # streaming: spans are corpus-sized; order-insensitive compare
+    return extract_spans_windowed(synth_docs_dataset(sf_dir), window_spans=64)
 
 
 def q_extract_mapped(sf_dir: str):
@@ -998,8 +1007,8 @@ def q_scientific_names(sf_dir: str):
             )
         return pd.DataFrame(rows, columns=["doc_id", "raw", "canonical"])
 
-    out = ds.map_batches(build, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # streaming: one row per doc; order-insensitive compare
+    return ds.map_batches(build, batch_format="pyarrow")
 
 
 def q_csv_roundtrip(sf_dir: str):
@@ -1088,8 +1097,8 @@ def q_audio_features(sf_dir: str):
             }
         )
 
-    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
-    return out.sort_values("media_ref").reset_index(drop=True)
+    # streaming: one row per media ref; order-insensitive compare
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def q_video_frames(sf_dir: str):
@@ -1110,8 +1119,8 @@ def q_video_frames(sf_dir: str):
             }
         )
 
-    out = frames.map_batches(project, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    # streaming: one row per sampled frame; order-insensitive compare
+    return frames.map_batches(project, batch_format="pyarrow")
 
 
 def q_ivf_topk(sf_dir: str):
@@ -1135,7 +1144,9 @@ def q_asof_event_order(sf_dir: str):
     (backward, by=user) inside the shard — no per-user groups cross the
     wire. Ties on order date break to the highest order key (matches the
     oracle's ORDER BY ... DESC LIMIT 1)."""
-    num_shards = 32
+    from ..stages.shuffle import default_num_shards
+
+    num_shards = default_num_shards()  # shuffle width scales with cluster
 
     def tag_events(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -1212,7 +1223,9 @@ def q_range_join_order_events(sf_dir: str):
     the shard a per-user ``searchsorted`` over the sorted event times
     answers every order's interval in O(log n) — no quadratic pair
     intermediate ever materializes."""
-    num_shards = 32
+    from ..stages.shuffle import default_num_shards
+
+    num_shards = default_num_shards()  # shuffle width scales with cluster
 
     def tag_events(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)

@@ -91,7 +91,7 @@ def plan_actions_distributed(
     pos_col: str = "pos",
     path_col: str = "path",
     md5_col: str = "content_md5",
-    num_shards: int = 64,
+    num_shards: "int | None" = None,
     driver_fast_path_limit: int = 0,
 ):
     """Distributed ``plan_actions`` with EXACT sequential-fold parity.

@@ -42,6 +42,11 @@ import ray.data
 _SHARD = "__jshard"
 _SIDE = "__jside"
 
+# build sides under broadcast_limit ROWS but over this many BYTES take the
+# shard join instead (object-store copy per node is fine; the per-task
+# pandas collect on the duplicate-key path is not)
+BROADCAST_BYTE_LIMIT = 256 * 1024 * 1024
+
 
 def _to_arrow_table(side, limit: Optional[int] = None) -> Optional[pa.Table]:
     """Collect ``side`` (pa.Table or Dataset) to one pa.Table; None if a
@@ -72,7 +77,7 @@ def hash_join(
     right_columns: List[str],
     how: str = "inner",
     broadcast_limit: int = 2_000_000,
-    num_shards: int = 64,
+    num_shards: "int | None" = None,
     batch_size: int = 65536,
     post: Optional[Callable[[pa.Table], pa.Table]] = None,
 ) -> ray.data.Dataset:
@@ -82,7 +87,19 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
 
+    if num_shards is None:
+        from .shuffle import default_num_shards
+
+        num_shards = default_num_shards()
     small = _to_arrow_table(right, limit=broadcast_limit)
+    if small is not None and small.nbytes > BROADCAST_BYTE_LIMIT:
+        # row count under the bound but WIDE rows: a multi-GB build side
+        # would be ray.put once per job AND pandas-collected per probe
+        # task on the duplicate-key path — route to the shard join on
+        # actual bytes, not row count
+        if not isinstance(right, ray.data.Dataset):
+            right = ray.data.from_arrow(small)
+        small = None
     if small is not None:
         return _broadcast_join(
             left, small, left_key, right_key, right_columns, how, batch_size, post

@@ -29,6 +29,22 @@ import ray.data
 _SHARD_COL = "__gshard"
 
 
+def default_num_shards() -> int:
+    """Shuffle width derived from the CLUSTER, not a constant: ~4 shard
+    tasks per core (enough slack for stragglers without scheduler spam),
+    floor 16 so small dev sessions still exercise multi-shard paths.
+    Callers that need a FIXED width across runs (the lineage store's
+    partition count, resumability contract) must keep passing one."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 16
+    )
+    return max(16, 4 * cpus)
+
+
 def _key_hash(batch: pa.Table, keys: List[str]) -> np.ndarray:
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -83,7 +99,7 @@ def groupby_apply(
     keys: Union[str, List[str]],
     fn: Callable,
     *,
-    num_shards: int = 64,
+    num_shards: "int | None" = None,
     batch_format: str = "pyarrow",
 ) -> ray.data.Dataset:
     """Apply ``fn(group)`` once per distinct key tuple; returns the
@@ -103,7 +119,7 @@ def groupby_apply_table(
     keys: Union[str, List[str]],
     table_fn: Callable,
     *,
-    num_shards: int = 64,
+    num_shards: "int | None" = None,
 ) -> ray.data.Dataset:
     """Coarse-shard groupby handing each shard's WHOLE table to
     ``table_fn`` (which owns per-group semantics internally, with the
@@ -112,6 +128,8 @@ def groupby_apply_table(
     e.g. the cells merge decodes the shard once and encodes once instead
     of per doc (pipelines/merge.py::merge_cells_table)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    if num_shards is None:
+        num_shards = default_num_shards()
 
     def stamp(batch: pa.Table) -> pa.Table:
         shard = (_key_hash(batch, key_list) % np.uint64(num_shards)).astype(

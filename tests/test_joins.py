@@ -151,3 +151,53 @@ class TestHashJoin:
             ["k", "x"],
         )
         pd.testing.assert_frame_equal(expect, got[expect.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestByteGate:
+    def test_wide_rows_route_to_shard_join(self, monkeypatch):
+        """A build side under the ROW limit but over the BYTE limit must
+        take the shard join (never the per-task pandas collect of the
+        duplicate-key broadcast path)."""
+        import paper2table_ray.stages.joins as J
+
+        # duplicate keys + fat payload: the broadcast dup path would
+        # pandas-collect this per probe task
+        keys = [0, 0, 1, 2, 3, 3]
+        right = pa.table(
+            {
+                "rk": pa.array(keys, pa.int64()),
+                "name": pa.array(["x" * 64 for _ in keys], pa.string()),
+            }
+        )
+        monkeypatch.setattr(J, "BROADCAST_BYTE_LIMIT", 16)
+
+        def boom(*a, **k):
+            raise AssertionError("broadcast path taken for a wide build side")
+
+        monkeypatch.setattr(J, "_broadcast_join", boom)
+        out = _sorted_df(
+            J.hash_join(_left_ds(), right, "k", "rk", ["name"]), ["k", "name"]
+        )
+        expected = _sorted_df(
+            _left_ds()
+            .to_pandas()
+            .merge(right.to_pandas(), left_on="k", right_on="rk")
+            .drop(columns=["rk"]),
+            ["k", "name"],
+        )
+        assert out[["k", "v", "name"]].equals(expected[["k", "v", "name"]])
+
+    def test_narrow_rows_still_broadcast(self, monkeypatch):
+        import paper2table_ray.stages.joins as J
+
+        called = {}
+        orig = J._broadcast_join
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(J, "_broadcast_join", spy)
+        out = _sorted_df(J.hash_join(_left_ds(), _right_tbl(), "k", "rk", ["name"]), ["k"])
+        assert called.get("yes") and len(out) == 8
