@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Dict, List, Optional
 
 import pandas as pd
@@ -47,47 +48,93 @@ class TablesFileError(ValueError):
 # --- validation / parse -----------------------------------------------------
 
 
+_INT_STR_RE = re.compile(r"^[+-]?\d+$")
+
+
+def _intish(value) -> bool:
+    """pydantic-v2-lax ``int``: int/bool, integral float, digit string."""
+    if isinstance(value, (bool, int)):
+        return True
+    if isinstance(value, float):
+        return value.is_integer()
+    return isinstance(value, str) and bool(_INT_STR_RE.match(value.strip()))
+
+
 def _check_value(col: str, value, errors: List[str], where: str) -> None:
-    # scalars besides str occur in the wild (reference demo fixtures carry
-    # raw JSON ints; pydantic extra="allow" admits them) → accepted and
-    # string-coerced at parse.
-    if value is None or isinstance(value, (str, int, float)):
-        return
+    # pydantic ``extra="allow"`` leaves extra cells UNVALIDATED except
+    # the after-validator (schema.py:27-35), which model-validates only
+    # list entries that are dicts as ValueWithAgreement: value strictly
+    # str, agreement_level int-coercible. Everything else passes —
+    # calibrated against the reference schema (differential tool tests).
     if isinstance(value, list):
         for entry in value:
-            if not (
-                isinstance(entry, dict)
-                and isinstance(entry.get("value"), str)
-                and isinstance(entry.get("agreement_level"), int)
+            if isinstance(entry, dict) and not (
+                isinstance(entry.get("value"), str)
+                and _intish(entry.get("agreement_level"))
             ):
                 errors.append(
-                    f"{where}: column {col!r} list entries must be "
+                    f"{where}: column {col!r} dict list entries must be "
                     "{value: str, agreement_level: int}"
                 )
                 return
-        return
-    errors.append(f"{where}: column {col!r} must be null, string, or vote list")
 
 
 def validate_tablesfile_obj(obj) -> List[str]:
     """tablevalidate analogue (validate.py:16-29): structural errors as
-    strings, [] when valid."""
+    strings, [] when valid. Acceptance is calibrated case-by-case against
+    the reference pydantic schema (tests/test_reference_differential_
+    tools.py::test_tablevalidate_differential): ``citation`` is a
+    required key, ``metadata.filename`` is a required key, curations are
+    extra=forbid with str-typed fields, sources_ must be a str list,
+    uuid a string — while int-coercible values (bool/float/digit-string)
+    pass anywhere pydantic lax mode coerces them."""
     errors: List[str] = []
     if not isinstance(obj, dict):
         return ["top level must be an object"]
     tables = obj.get("tables")
     if not isinstance(tables, list):
         return ["'tables' must be a list"]
+    if "citation" not in obj:
+        errors.append("'citation' is required (may be null)")
     citation = obj.get("citation")
     if citation is not None and not isinstance(citation, (str, list)):
         errors.append("'citation' must be null, string, or vote list")
+    if isinstance(citation, list):
+        for entry in citation:
+            if not (
+                isinstance(entry, dict)
+                and isinstance(entry.get("value"), str)
+                and _intish(entry.get("agreement_level"))
+            ):
+                errors.append(
+                    "'citation' vote entries must be {value: str, agreement_level: int}"
+                )
+                break
+    uuid = obj.get("uuid")
+    if uuid is not None and not isinstance(uuid, str):
+        errors.append("'uuid' must be null or string")
     metadata = obj.get("metadata")
     if metadata is not None and not isinstance(metadata, dict):
         errors.append("'metadata' must be null or object")
     if isinstance(metadata, dict):
-        for cur in metadata.get("curations") or []:
-            if not isinstance(cur, dict) or "curator" not in cur:
-                errors.append("curations entries require a 'curator'")
+        if "filename" not in metadata:
+            errors.append("'metadata.filename' is required (may be null)")
+        elif metadata["filename"] is not None and not isinstance(
+            metadata["filename"], str
+        ):
+            errors.append("'metadata.filename' must be null or string")
+        curations = metadata.get("curations")
+        if curations is not None and not isinstance(curations, list):
+            errors.append("'metadata.curations' must be null or list")
+        for cur in curations or [] if isinstance(curations, list) else []:
+            if not isinstance(cur, dict) or not isinstance(cur.get("curator"), str):
+                errors.append("curations entries require a string 'curator'")
+                continue
+            if set(cur) - {"curator", "description", "timestamp"}:
+                errors.append("curations entries forbid extra fields")
+            for opt in ("description", "timestamp"):
+                if cur.get(opt) is not None and not isinstance(cur[opt], str):
+                    errors.append(f"curation '{opt}' must be null or string")
     for t_idx, table in enumerate(tables):
         if not isinstance(table, dict):
             errors.append(f"tables[{t_idx}] must be an object")
@@ -104,7 +151,7 @@ def validate_tablesfile_obj(obj) -> List[str]:
             continue
         for f_idx, frag in enumerate(frags):
             where = f"tables[{t_idx}].fragments[{f_idx}]"
-            if not isinstance(frag, dict) or not isinstance(frag.get("page"), int):
+            if not isinstance(frag, dict) or not _intish(frag.get("page")):
                 errors.append(f"{where}: needs integer 'page'")
                 continue
             rows = frag.get("rows")
@@ -115,10 +162,23 @@ def validate_tablesfile_obj(obj) -> List[str]:
                 if not isinstance(row, dict):
                     errors.append(f"{where}.rows[{r_idx}] must be an object")
                     continue
+                rwhere = f"{where}.rows[{r_idx}]"
+                if row.get("agreement_level_") is not None and not _intish(
+                    row["agreement_level_"]
+                ):
+                    errors.append(f"{rwhere}: agreement_level_ must be int")
+                if row.get("row_") is not None and not _intish(row["row_"]):
+                    errors.append(f"{rwhere}: row_ must be int")
+                srcs = row.get("sources_")
+                if srcs is not None and (
+                    not isinstance(srcs, list)
+                    or not all(isinstance(s, str) for s in srcs)
+                ):
+                    errors.append(f"{rwhere}: sources_ must be a string list")
                 for col, value in row.items():
                     if col in _SPECIAL:
                         continue
-                    _check_value(col, value, errors, f"{where}.rows[{r_idx}]")
+                    _check_value(col, value, errors, rwhere)
     return errors
 
 

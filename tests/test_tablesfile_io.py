@@ -74,15 +74,25 @@ class TestParseValidate:
         assert row["cells"]["name"][0]["value"] == "x"
 
     def test_invalid_shapes_rejected(self):
+        # verdicts calibrated against the reference pydantic schema
+        # (tests/test_reference_differential_tools.py)
         assert validate_tablesfile_obj([]) != []
         assert validate_tablesfile_obj({"tables": {}}) != []
-        assert validate_tablesfile_obj({"tables": [{"page": 1}]}) != []
         assert validate_tablesfile_obj(
-            {"tables": [{"rows": [{"a": {"nested": "object"}}], "page": 1}]}
+            {"tables": [{"page": 1}], "citation": None}
         ) != []
-        # bare scalars are tolerated (reference fixtures carry raw ints)
+        # citation is a REQUIRED key in the reference schema
         assert validate_tablesfile_obj(
             {"tables": [{"rows": [{"a": 7}], "page": 1}]}
+        ) != []
+        # extra="allow" leaves non-list cells unvalidated: bare scalars
+        # AND nested objects pass the reference schema
+        assert validate_tablesfile_obj(
+            {"tables": [{"rows": [{"a": 7}], "page": 1}], "citation": None}
+        ) == []
+        assert validate_tablesfile_obj(
+            {"tables": [{"rows": [{"a": {"nested": "object"}}], "page": 1}],
+             "citation": None}
         ) == []
         with pytest.raises(TablesFileError):
             parse_tablesfile(b"{not json")
