@@ -396,6 +396,10 @@ def extract_spans_mapped(
         concurrency = (1, max(2, cpus))
 
     if isinstance(mappings, ray.data.Dataset):
+        # a LAZY mapping side would run the planner twice (once for the
+        # size-gate count, once for the collect or shard join) —
+        # materialize ONCE; blocks stay in the object store
+        mappings = mappings.materialize()
         n_mappings = mappings.count()
         if n_mappings > broadcast_limit:
             return _extract_mapped_shardjoin(

@@ -50,7 +50,9 @@ BROADCAST_BYTE_LIMIT = 256 * 1024 * 1024
 
 def _to_arrow_table(side, limit: Optional[int] = None) -> Optional[pa.Table]:
     """Collect ``side`` (pa.Table or Dataset) to one pa.Table; None if a
-    Dataset exceeds ``limit`` rows (count() is metadata-cheap)."""
+    Dataset exceeds ``limit`` rows. The caller (``hash_join``) has
+    already materialized Dataset sides, so ``count()`` here is block
+    metadata, not a plan execution."""
     if isinstance(side, pa.Table):
         if limit is not None and side.num_rows > limit:
             return None
@@ -91,6 +93,12 @@ def hash_join(
         from .shuffle import default_num_shards
 
         num_shards = default_num_shards()
+    if isinstance(right, ray.data.Dataset):
+        # a LAZY right side would execute twice (count() for the size
+        # gate, then the collect or the shard shuffle); materialize ONCE
+        # — blocks stay in the object store (spillable), the driver
+        # holds refs only, and both downstream paths reuse them
+        right = right.materialize()
     small = _to_arrow_table(right, limit=broadcast_limit)
     if small is not None and small.nbytes > BROADCAST_BYTE_LIMIT:
         # row count under the bound but WIDE rows: a multi-GB build side
