@@ -283,6 +283,9 @@ def test_curation_requires_curator():
         "tables": [],
         "citation": "",
         "metadata": {
+            # filename is a REQUIRED key in the reference schema
+            # (differential calibration, round 5)
+            "filename": None,
             "curations": [
                 {"curator": "Umi", "description": "Corregida", "timestamp": "2026-06-25"}
             ]
