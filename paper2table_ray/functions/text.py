@@ -394,14 +394,18 @@ class ColumnSchema:
         return result
 
 
+_PAGE_RANGE_RE = re.compile(r"^(.+):(\d+):(\d+)$")
+
+
 def parse_page_range(raw_path: str) -> tuple[str, tuple[int, int] | None]:
-    """``PATH[:FROM:TO]`` → (path, (from, to)) 1-indexed inclusive."""
-    parts = raw_path.rsplit(":", 2)
-    if len(parts) == 3:
-        try:
-            return parts[0], (int(parts[1]), int(parts[2]))
-        except ValueError:
-            pass
+    """``PATH[:FROM:TO]`` → (path, (from, to)) 1-indexed inclusive.
+    Same regex as the reference (page_range.py:11): the path must be
+    non-empty and FROM/TO bare digit runs — an rsplit-based version
+    accepted '':1:1 and signed/whitespace-padded numbers the reference
+    rejects (hypothesis differential, round 5)."""
+    match = _PAGE_RANGE_RE.match(raw_path)
+    if match:
+        return match.group(1), (int(match.group(2)), int(match.group(3)))
     return raw_path, None
 
 
