@@ -2,14 +2,14 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 48 with
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 49 with
 DuckDB oracles — all oracled queries enumerate first (the driver's
-correctness run records at most 50 entries). The two ops whose semantics
-are not SQL-expressible (the cells merge model, filesystem lineage) are
-rows-only by design — their correctness gates are the pytest parity /
-kill-resume tests plus the differential oracle against the reference's
-own merge code (tests/test_reference_differential_merge.py). Eight
-oracles read deterministic pure-Python input dumps under /tmp
+correctness run records at most 50 entries). The one rows-only op,
+filesystem lineage, is gated by a combined run-twice witness plus
+kill/resume pytest; the cells merge is additionally differentially
+witnessed against the reference's own merge code
+(tests/test_reference_differential_merge.py). Nine oracles read
+deterministic pure-Python input dumps under /tmp
 (pipelines/oracle_dumps.py) because their reference input exists only
 as seeded synthesis, not as one of the driver's parquet views.
 

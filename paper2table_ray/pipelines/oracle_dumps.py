@@ -173,6 +173,65 @@ def _synth_cells_records(sf_dir: str, runs: int = 3) -> List[dict]:
     return table_to_row_records(cells)
 
 
+def ensure_merged_cells_dump(sf_dir: str) -> str:
+    """Sequential per-doc merge of the synthetic resultsets (pure Python,
+    no Ray, engine-owned ``merge_doc_records``) flattened to the exact
+    row shape ``q_merge_cells`` emits. The driver's hash compare then
+    witnesses the DISTRIBUTED path — the coarse-shard shuffle, shard
+    co-location and the fused whole-shard kernel — against this per-doc
+    ground truth; the per-doc kernel itself is independently witnessed
+    against the reference's own code
+    (tests/test_reference_differential_merge.py)."""
+    path = _dump_path(sf_dir, "merged_cells_flat")
+    if os.path.exists(path):
+        return path
+    from .merge import MergeConfig, merge_doc_records
+
+    by_doc: dict = {}
+    for rec in _synth_cells_records(sf_dir):
+        by_doc.setdefault(rec["doc_id"], []).append(rec)
+    cfg = MergeConfig(column_agreement=True)
+    cols: dict = {
+        name: []
+        for name in (
+            "doc_id",
+            "table_idx",
+            "fragment_idx",
+            "page",
+            "row_idx",
+            "agreement_level",
+            "sources",
+            "cells",
+        )
+    }
+    for doc in sorted(by_doc):
+        for r in merge_doc_records(by_doc[doc], cfg):
+            cols["doc_id"].append(r["doc_id"])
+            cols["table_idx"].append(r["table_idx"])
+            cols["fragment_idx"].append(r["fragment_idx"])
+            cols["page"].append(r["page"])
+            cols["row_idx"].append(r["row_idx"])
+            cols["agreement_level"].append(r["agreement_level"] or 0)
+            cols["sources"].append(",".join(r["sources"] or ()))
+            cols["cells"].append(repr(sorted(r["cells"].items())))
+    _atomic_write(
+        pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.string()),
+                "table_idx": pa.array(cols["table_idx"], pa.int64()),
+                "fragment_idx": pa.array(cols["fragment_idx"], pa.int64()),
+                "page": pa.array(cols["page"], pa.int64()),
+                "row_idx": pa.array(cols["row_idx"], pa.int64()),
+                "agreement_level": pa.array(cols["agreement_level"], pa.int64()),
+                "sources": pa.array(cols["sources"], pa.string()),
+                "cells": pa.array(cols["cells"], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_cells_flat_dump(sf_dir: str) -> str:
     """Stamped synthetic-resultsets cells, one row per cell entry."""
     path = _dump_path(sf_dir, "cells_flat")
@@ -228,5 +287,6 @@ def ensure_oracle_dumps(sf_dir: str) -> dict:
         "expected_spans": ensure_expected_spans_dump(sf_dir),
         "expected_mapped_spans": ensure_expected_mapped_spans_dump(sf_dir),
         "simhash64": ensure_simhash_dump(sf_dir),
+        "merged_cells_flat": ensure_merged_cells_dump(sf_dir),
         "cells_flat": ensure_cells_flat_dump(sf_dir),
     }

@@ -713,9 +713,11 @@ def q_user_sessions(sf_dir: str):
 
 def q_merge_cells(sf_dir: str):
     """Multi-run merge with agreement scoring (SURVEY.md §3.2): synthetic
-    resultsets → groupby(doc_id) cursor-merge. Rows-only: the cells model
-    (dynamic per-row columns + agreement lists) is not SQL-shaped; its
-    correctness gate is tests/test_merge_pipeline.py's doc-local equality."""
+    resultsets → groupby(doc_id) cursor-merge, DuckDB-ORACLED (round 5):
+    the oracle reads a dump of the SEQUENTIAL per-doc merge, so the
+    driver hash witnesses the distributed shuffle + fused kernel against
+    per-doc ground truth (the kernel itself is differentially witnessed
+    against the reference's own code)."""
     from ..schema import table_to_row_records
 
     merged = _merged_cells(sf_dir)
@@ -1750,11 +1752,9 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "extract_mapped": q_extract_mapped,
     "simhash_pairs": q_simhash_pairs,
-    # --- rows-only by design (2): the dynamic-column cells merge model
-    # (153-case parity suite + differential oracle against the
-    # reference's own code, tests/test_reference_differential_merge.py)
-    # and filesystem lineage (kill/resume tests) ---
     "merge_cells": q_merge_cells,
+    # --- rows-only by design (1): filesystem lineage (combined
+    # run-twice witness + kill/resume pytest) ---
     "resume_lineage": q_resume_lineage,
 }
 
@@ -2402,6 +2402,7 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
     spans = paths["expected_spans"]
     mapped_spans = paths["expected_mapped_spans"]
     simhash = paths["simhash64"]
+    merged_cells = paths["merged_cells_flat"]
     cells = paths["cells_flat"]
 
     # shared G4 derivation: per-cell-entry dump → per-(doc,uuid) stats
@@ -2546,6 +2547,17 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
             ORDER BY doc_a, doc_b
+        """,
+        # merged cells: the dump is the SEQUENTIAL per-doc merge (pure
+        # Python, engine-owned merge_doc_records) — the hash compare
+        # witnesses the distributed shuffle + fused whole-shard kernel
+        # against it; the per-doc kernel itself is witnessed against the
+        # reference's own code (test_reference_differential_merge.py)
+        "merge_cells": f"""
+            SELECT doc_id, table_idx, fragment_idx, page, row_idx,
+                   agreement_level, sources, cells
+            FROM read_parquet('{merged_cells}')
+            ORDER BY doc_id, table_idx, fragment_idx, row_idx
         """,
         # extract-fed media path: expected refs from the generation plan,
         # stub decoder dims via md5 arithmetic (same identity as the
