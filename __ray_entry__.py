@@ -2,14 +2,11 @@
 
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator family
-(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, 49 with
-DuckDB oracles — all oracled queries enumerate first (the driver's
-correctness run records at most 50 entries). The one rows-only op,
-filesystem lineage, is gated by a combined run-twice witness plus
-kill/resume pytest; the cells merge is additionally differentially
-witnessed against the reference's own merge code
-(tests/test_reference_differential_merge.py). Nine oracles read
-deterministic pure-Python input dumps under /tmp
+(SURVEY.md §2 + training-data ops; see COVERAGE.md): 50 queries, ALL 50
+with DuckDB oracles. Kill-mid-run lineage recovery stays pytest-gated;
+the cells merge is additionally differentially witnessed against the
+reference's own merge code (tests/test_reference_differential_merge.py).
+Ten oracles read deterministic pure-Python input dumps under /tmp
 (pipelines/oracle_dumps.py) because their reference input exists only
 as seeded synthesis, not as one of the driver's parquet views.
 

@@ -232,6 +232,95 @@ def ensure_merged_cells_dump(sf_dir: str) -> str:
     return path
 
 
+def ensure_resume_lineage_dump(sf_dir: str) -> str:
+    """Pure-Python prediction of ``q_resume_lineage``'s run-twice summary
+    (no Ray, no filesystem): partition ids are ``blake2(doc_id) % P``
+    (state/lineage.partition_of), extract-stage counts come from the
+    generation plan's expected spans, merge-stage counts from the
+    sequential per-doc merge of the same 60-doc cells slice. The query
+    runs the REAL lineage machinery twice; a hash match therefore
+    witnesses partition placement, per-partition counts AND that the
+    second run skipped every completed partition."""
+    path = _dump_path(sf_dir, "resume_lineage")
+    if os.path.exists(path):
+        return path
+    from ..sources.resultsets import synth_resultsets_batch
+    from ..sources.synth import expected_spans_batch
+    from ..state.lineage import partition_of
+    from ..schema import table_to_row_records
+    from .merge import MergeConfig, merge_doc_records
+
+    rows: List[dict] = []
+
+    # -- extract stage (P=16, whole corpus) --
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    spans = expected_spans_batch(docs)
+    per_part: dict = {}
+    for doc_id in spans.column("doc_id").to_pylist():
+        pid = partition_of(doc_id, 16)
+        d = per_part.setdefault(pid, {"docs": set(), "rows": 0})
+        d["docs"].add(doc_id)
+        d["rows"] += 1
+    for pid in sorted(per_part):
+        rows.append(
+            {
+                "stage": "extract",
+                "partition_id": pid,
+                "doc_count": len(per_part[pid]["docs"]),
+                "row_count": per_part[pid]["rows"],
+                "status": "ok",
+                "resume_status": "skipped",
+            }
+        )
+
+    # -- merge stage (P=8, first 60 docs) --
+    ids = _read_documents(sf_dir, ["doc_id"]).slice(0, 60)
+    cells = synth_resultsets_batch(ids)
+    by_part: dict = {}
+    for rec in table_to_row_records(cells):
+        by_part.setdefault(partition_of(rec["doc_id"], 8), []).append(rec)
+    cfg = MergeConfig()
+    for pid in sorted(by_part):
+        by_doc: dict = {}
+        for rec in by_part[pid]:
+            by_doc.setdefault(rec["doc_id"], []).append(rec)
+        merged_docs: set = set()
+        merged_rows = 0
+        for doc in sorted(by_doc):
+            out = merge_doc_records(by_doc[doc], cfg)
+            merged_rows += len(out)
+            merged_docs.update(r["doc_id"] for r in out)
+        rows.append(
+            {
+                "stage": "merge",
+                "partition_id": pid,
+                "doc_count": len(merged_docs),
+                "row_count": merged_rows,
+                "status": "ok",
+                "resume_status": "skipped",
+            }
+        )
+
+    _atomic_write(
+        pa.table(
+            {
+                "stage": pa.array([r["stage"] for r in rows], pa.string()),
+                "partition_id": pa.array(
+                    [r["partition_id"] for r in rows], pa.int64()
+                ),
+                "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+                "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+                "status": pa.array([r["status"] for r in rows], pa.string()),
+                "resume_status": pa.array(
+                    [r["resume_status"] for r in rows], pa.string()
+                ),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def ensure_cells_flat_dump(sf_dir: str) -> str:
     """Stamped synthetic-resultsets cells, one row per cell entry."""
     path = _dump_path(sf_dir, "cells_flat")
@@ -288,5 +377,6 @@ def ensure_oracle_dumps(sf_dir: str) -> dict:
         "expected_mapped_spans": ensure_expected_mapped_spans_dump(sf_dir),
         "simhash64": ensure_simhash_dump(sf_dir),
         "merged_cells_flat": ensure_merged_cells_dump(sf_dir),
+        "resume_lineage": ensure_resume_lineage_dump(sf_dir),
         "cells_flat": ensure_cells_flat_dump(sf_dir),
     }

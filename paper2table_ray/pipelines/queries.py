@@ -883,9 +883,12 @@ def q_resume_lineage(sf_dir: str):
       shuffle-free ``resumable_merge`` — second run all "skipped".
 
     One row per (stage, partition) with the first run's counts and the
-    second run's resume status. Rows-only (filesystem lineage isn't
-    SQL-shaped); the kill-mid-run recovery paths are pytest-gated in
-    tests/test_lineage.py."""
+    second run's resume status, DuckDB-ORACLED (round 5): the oracle
+    predicts the whole summary purely (blake2 partition arithmetic +
+    generation-plan span counts + sequential per-doc merge) while the
+    query runs the REAL filesystem lineage machinery twice — placement,
+    counts AND the resume skip are all hash-witnessed. Kill-mid-run
+    recovery stays pytest-gated in tests/test_lineage.py."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -1753,8 +1756,6 @@ QUERIES = {
     "extract_mapped": q_extract_mapped,
     "simhash_pairs": q_simhash_pairs,
     "merge_cells": q_merge_cells,
-    # --- rows-only by design (1): filesystem lineage (combined
-    # run-twice witness + kill/resume pytest) ---
     "resume_lineage": q_resume_lineage,
 }
 
@@ -2403,6 +2404,7 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
     mapped_spans = paths["expected_mapped_spans"]
     simhash = paths["simhash64"]
     merged_cells = paths["merged_cells_flat"]
+    resume = paths["resume_lineage"]
     cells = paths["cells_flat"]
 
     # shared G4 derivation: per-cell-entry dump → per-(doc,uuid) stats
@@ -2558,6 +2560,15 @@ def dump_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict:
                    agreement_level, sources, cells
             FROM read_parquet('{merged_cells}')
             ORDER BY doc_id, table_idx, fragment_idx, row_idx
+        """,
+        # run-twice lineage summary predicted purely from blake2 partition
+        # arithmetic + the generation plan + the sequential merge — the
+        # query exercises the REAL filesystem lineage machinery twice
+        "resume_lineage": f"""
+            SELECT stage, partition_id, doc_count, row_count, status,
+                   resume_status
+            FROM read_parquet('{resume}')
+            ORDER BY stage, partition_id
         """,
         # extract-fed media path: expected refs from the generation plan,
         # stub decoder dims via md5 arithmetic (same identity as the

@@ -27,7 +27,7 @@ def test_dumps_regenerate_bit_identical():
     _fresh_paths()
     p2 = od.ensure_oracle_dumps(SF)
     blobs2 = {k: open(v, "rb").read() for k, v in p2.items()}
-    assert blobs1.keys() == blobs2.keys() == {"expected_spans", "expected_mapped_spans", "simhash64", "merged_cells_flat", "cells_flat"}
+    assert blobs1.keys() == blobs2.keys() == {"expected_spans", "expected_mapped_spans", "simhash64", "merged_cells_flat", "resume_lineage", "cells_flat"}
     for k in blobs1:
         assert blobs1[k] == blobs2[k], k
 
