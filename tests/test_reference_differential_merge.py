@@ -335,6 +335,61 @@ def test_lifecycle_schema_postprocessors(ref, resultset_dirs, tmp_path):
     _assert_same(ours, theirs)
 
 
+def test_lifecycle_paper_aliases(ref, resultset_dirs, tmp_path):
+    """--paper-aliases: alias stems merge into the canonical doc with a
+    per-source page offset (reference group_tablesfiles,
+    __main__.py:149-162). run-bbbb's copies of docs 0-4 are renamed to
+    ``<doc>_v1`` with offset 1 on disk, then aliased back."""
+    import shutil
+
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        from tablemerge.aliases import PaperAlias, parse_paper_aliases
+    finally:
+        sys.path.remove(str(REF_SRC))
+
+    # clone the resultsets, renaming a few run-bbbb docs to alias stems
+    # and shifting their pages by -1 so the +1 alias offset re-aligns
+    root = tmp_path / "aliased"
+    dirs = []
+    alias_parts = []
+    for d in resultset_dirs:
+        dst = root / Path(d).name
+        shutil.copytree(d, dst)
+        dirs.append(str(dst))
+    for i in range(5):
+        doc = f"doc_{i:06d}"
+        src = root / "run-bbbb" / f"{doc}.tables.json"
+        if not src.exists():
+            continue
+        obj = json.loads(src.read_text(encoding="utf-8"))
+        for table in obj["tables"]:
+            frags = [table] if "rows" in table else table["table_fragments"]
+            for frag in frags:
+                frag["page"] = frag["page"] - 1
+        (root / "run-bbbb" / f"{doc}_v1.tables.json").write_text(
+            json.dumps(obj, ensure_ascii=False), encoding="utf-8"
+        )
+        src.unlink()
+        alias_parts.append(f"{doc}_v1:{doc}:1")
+
+    alias_str = " ".join(alias_parts)
+    theirs = _run_reference(
+        ref,
+        dirs,
+        tmp_path / "ref",
+        pretransformers=[ref.ft.FilterTitleRowsTransformer(), ref.ft.FilterEmptyRowsTransformer()],
+        paper_aliases=parse_paper_aliases(alias_str),
+        postprocessors=ref.post.build_postprocessors(schema=None, filter_columns=False, order_columns=False, coerce_types=False),
+    )
+    ours = _run_ours(
+        dirs,
+        tmp_path / "ours",
+        _settings(paper_aliases=alias_str),
+    )
+    _assert_same(ours, theirs)
+
+
 def test_lifecycle_distinct_readers(ref, resultset_dirs, tmp_path):
     """--agreement-method distinct-readers (uuid→reader from metadata)."""
     theirs = _run_reference(
