@@ -295,3 +295,66 @@ def test_jaccard_analyzer_differential(ref, left_rows, right_rows):
         left_cols, right_cols, left_rows, right_rows
     )
     assert ours == theirs
+
+
+# --- load-time aligner chain (normalizer + hints + alias accumulate/rechain) --
+
+
+HINT_WORDS = st.lists(
+    st.sampled_from(["family", "status", "scientific_name", "notes"]),
+    max_size=3,
+    unique=True,
+)
+ALIASES = st.dictionaries(
+    st.sampled_from(["0", "1", "notes", "Family Name"]),
+    st.sampled_from(["family", "status", "<remove>"]),
+    max_size=3,
+)
+MESSY_COL = st.sampled_from(
+    ["family", "Family Name", "0", "1", "STATUS!!", "scientific_name", "notes"]
+)
+MESSY_CELLS = st.dictionaries(MESSY_COL, CELL, max_size=5)
+MESSY_ROW = st.builds(
+    lambda cells: {"cells": cells, "agreement_level": None, "sources": None, "row_idx": None},
+    MESSY_CELLS,
+)
+MESSY_FRAGMENT = st.builds(
+    lambda rows, page: {"rows": rows, "page": page},
+    st.lists(MESSY_ROW, max_size=6),
+    st.integers(1, 3),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(MESSY_FRAGMENT, HINT_WORDS, ALIASES, st.booleans())
+def test_load_time_aligner_chain_differential(ref, frag, hints, aliases, safe):
+    """The full load-time analyzer chain — always-on column-name
+    normalizer, hints (safe/unsafe), alias (incl. <remove>) — with the
+    accumulate/re-chain mapping fold and collision-concat rename
+    (columns_aligner.py:23-95)."""
+    import paper2table_ray.stages.aligners as A
+
+    sys.path.insert(0, str(REF_SRC))
+    try:
+        import tablemerge.analyzers as ref_an
+        import tablemerge.columns_aligner as ref_ca
+    finally:
+        sys.path.remove(str(REF_SRC))
+
+    ref_chain = [ref_an.ColumnNamesNormalizerLoadTimeAnalyzer()]
+    our_chain = [A.ColumnNamesNormalizerLoadTimeAnalyzer()]
+    if hints:
+        ref_chain.append(ref_an.HintsLoadTimeAnalyzer(hints, safe=safe))
+        our_chain.append(A.HintsLoadTimeAnalyzer(hints, safe=safe))
+    if aliases:
+        ref_chain.append(ref_an.AliasLoadTimeAnalyzer(aliases))
+        our_chain.append(A.AliasLoadTimeAnalyzer(aliases))
+
+    ref_aligner = ref_ca.LoadTimeColumnAligner(
+        _to_ref_fragment(ref, frag), ref_chain
+    )
+    our_aligner = A.LoadTimeColumnAligner(frag, our_chain)
+    assert our_aligner.mapping == ref_aligner.mapping
+    for row in frag["rows"]:
+        theirs = _from_ref_row(ref_aligner.rename_row(_to_ref_row(ref, row)))
+        assert our_aligner.rename_row(row) == theirs
